@@ -1,0 +1,209 @@
+"""Option/flag system — the public CLI contract (SURVEY.md §2 item 1, §5.6).
+
+The reference drives everything from a single argparse namespace defined in
+``opts.py`` and threaded into every constructor.  We mirror that surface so
+existing PESR recipes run unchanged (BASELINE.json:5 "Public API mirrors
+PESR's train.py/test.py entry points and option flags"), while internally
+converting the flat namespace into a typed, hashable config object that is
+safe to close over in jitted code.
+
+Provenance note: the reference mount was empty during the survey
+(SURVEY.md §0), so the flag names/defaults below are the reconstructed
+surface from SURVEY.md §5.6 and BASELINE.json:6-11.  When the real
+``opts.py`` becomes readable, run SURVEY.md §0.1 item 2 and reconcile.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+# --------------------------------------------------------------------------
+# Typed config
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Opts:
+    """Typed, frozen view of the CLI namespace.
+
+    Frozen + hashable so it can be a static argument to ``jax.jit`` and
+    closed over by compiled train steps without retracing hazards.
+    """
+
+    # --- model (SURVEY.md §2 item 2/3) ---
+    scale: int = 4
+    num_channels: int = 256
+    num_blocks: int = 32
+    res_scale: float = 0.1
+    img_channels: int = 3
+
+    # --- data (SURVEY.md §2 item 5; BASELINE.json:8) ---
+    train_dataset: str = "DIV2K"
+    valid_dataset: str = "PIRM"
+    test_dataset: str = "Set5"
+    data_root: str = "data"
+    num_valids: int = 10
+    patch_size: int = 48          # LR patch side; HR side = patch_size*scale
+    batch_size: int = 16
+    num_repeats: int = 20         # epoch length multiplier over the image list
+
+    # --- training (SURVEY.md §2 item 7; BASELINE.json:8-9) ---
+    phase: str = "pretrain"       # "pretrain" (L1 only) | "train" (GAN)
+    pretrained_model: str = ""
+    learning_rate: float = 1e-4
+    lr_step: int = 120            # epochs between x0.5 LR decays
+    num_epochs: int = 300
+    steps_per_epoch: int = 1000
+    seed: int = 0
+
+    # --- GAN losses (SURVEY.md §2 item 6) ---
+    gan_type: str = "RSGAN"       # RSGAN | RaSGAN | RaLSGAN | LSGAN | GAN
+    use_gp: bool = False          # gradient penalty on D
+    spectral_norm: bool = False   # spectral norm on D convs
+    focal_loss: bool = True       # focal re-weighting of the GAN BCE
+    fl_gamma: float = 1.0
+    alpha_vgg: float = 50.0
+    alpha_gan: float = 1.0
+    alpha_tv: float = 1e-6
+    alpha_l1: float = 0.0
+    vgg_layer: str = "54"         # conv5_4 pre-activation ("VGG54")
+
+    # --- checkpoints / logging (SURVEY.md §5.4/5.5) ---
+    check_point: str = "check_point/pesr"
+    snapshot_every: int = 10      # epochs between checkpoint snapshots
+    log_every: int = 50           # steps between scalar log lines
+    eval_every: int = 1           # epochs between self-validation evals
+
+    # --- inference (SURVEY.md §3.3, §5.7; BASELINE.json:10) ---
+    model_path: str = ""
+    output_dir: str = "results"
+    tile_size: int = 96           # LR tile core side for tiled inference
+    tile_overlap: int = 8         # LR halo on each side
+    infer_batch: int = 8          # tiles per jitted forward
+
+    # --- TPU-native knobs (new; SURVEY.md §7) ---
+    compute_dtype: str = "bfloat16"   # activations/conv compute dtype
+    param_dtype: str = "float32"
+    use_pallas: bool = False          # fused Pallas kernels (XLA fallback)
+    mesh_shape: str = ""              # e.g. "8" or "" = all local devices
+    vgg_weights: str = ""             # converted VGG19 weights (see convert.py)
+
+    @property
+    def hr_patch_size(self) -> int:
+        return self.patch_size * self.scale
+
+    @property
+    def num_upsample_stages(self) -> int:
+        stages = int(round(math.log2(self.scale)))
+        if 2 ** stages != self.scale:
+            raise ValueError(f"scale must be a power of two, got {self.scale}")
+        return stages
+
+
+# --------------------------------------------------------------------------
+# argparse surface
+# --------------------------------------------------------------------------
+
+
+def _add_bool_flag(parser: argparse.ArgumentParser, name: str, default: bool,
+                   help_: str) -> None:
+    """A PESR-style on/off flag plus a --no_ counterpart."""
+    parser.add_argument(f"--{name}", dest=name, action="store_true",
+                        default=default, help=help_)
+    parser.add_argument(f"--no_{name}", dest=name, action="store_false",
+                        help=argparse.SUPPRESS)
+
+
+def build_parser(mode: str = "train") -> argparse.ArgumentParser:
+    """Build the PESR-compatible flag parser.
+
+    ``mode`` is "train" or "test"; both share the model/data flags the way
+    the reference's single ``opts.py`` namespace is consumed by both
+    entry points (SURVEY.md §1 L2).
+    """
+    d = Opts()
+    p = argparse.ArgumentParser(
+        description=f"pesr_tpu {mode} — TPU-native PESR",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+
+    g = p.add_argument_group("model")
+    g.add_argument("--scale", type=int, default=d.scale,
+                   help="super-resolution scale (power of two)")
+    g.add_argument("--num_channels", type=int, default=d.num_channels)
+    g.add_argument("--num_blocks", type=int, default=d.num_blocks)
+    g.add_argument("--res_scale", type=float, default=d.res_scale)
+
+    g = p.add_argument_group("data")
+    g.add_argument("--train_dataset", type=str, default=d.train_dataset)
+    g.add_argument("--valid_dataset", type=str, default=d.valid_dataset)
+    g.add_argument("--test_dataset", "--dataset", dest="test_dataset",
+                   type=str, default=d.test_dataset)
+    g.add_argument("--data_root", type=str, default=d.data_root)
+    g.add_argument("--num_valids", type=int, default=d.num_valids)
+    g.add_argument("--patch_size", type=int, default=d.patch_size)
+    g.add_argument("--batch_size", type=int, default=d.batch_size)
+    g.add_argument("--num_repeats", type=int, default=d.num_repeats)
+
+    if mode == "train":
+        g = p.add_argument_group("training")
+        g.add_argument("--phase", type=str, default=d.phase,
+                       choices=["pretrain", "train"])
+        g.add_argument("--pretrained_model", type=str,
+                       default=d.pretrained_model)
+        g.add_argument("--learning_rate", type=float, default=d.learning_rate)
+        g.add_argument("--lr_step", type=int, default=d.lr_step)
+        g.add_argument("--num_epochs", type=int, default=d.num_epochs)
+        g.add_argument("--steps_per_epoch", type=int, default=d.steps_per_epoch)
+        g.add_argument("--seed", type=int, default=d.seed)
+
+        g = p.add_argument_group("losses")
+        g.add_argument("--gan_type", type=str, default=d.gan_type,
+                       choices=["RSGAN", "RaSGAN", "RaLSGAN", "LSGAN", "GAN"])
+        _add_bool_flag(g, "GP", d.use_gp, "gradient penalty on D")
+        _add_bool_flag(g, "spectral_norm", d.spectral_norm,
+                       "spectral norm on D convs")
+        _add_bool_flag(g, "focal_loss", d.focal_loss,
+                       "focal re-weighting of the GAN loss")
+        g.add_argument("--fl_gamma", type=float, default=d.fl_gamma)
+        g.add_argument("--alpha_vgg", type=float, default=d.alpha_vgg)
+        g.add_argument("--alpha_gan", type=float, default=d.alpha_gan)
+        g.add_argument("--alpha_tv", type=float, default=d.alpha_tv)
+        g.add_argument("--alpha_l1", type=float, default=d.alpha_l1)
+        g.add_argument("--vgg_layer", type=str, default=d.vgg_layer)
+
+        g = p.add_argument_group("checkpointing")
+        g.add_argument("--check_point", type=str, default=d.check_point)
+        g.add_argument("--snapshot_every", type=int, default=d.snapshot_every)
+        g.add_argument("--log_every", type=int, default=d.log_every)
+        g.add_argument("--eval_every", type=int, default=d.eval_every)
+    else:
+        g = p.add_argument_group("inference")
+        g.add_argument("--model_path", type=str, default=d.model_path)
+        g.add_argument("--output_dir", type=str, default=d.output_dir)
+        g.add_argument("--tile_size", type=int, default=d.tile_size)
+        g.add_argument("--tile_overlap", type=int, default=d.tile_overlap)
+        g.add_argument("--infer_batch", type=int, default=d.infer_batch)
+
+    g = p.add_argument_group("tpu")
+    g.add_argument("--compute_dtype", type=str, default=d.compute_dtype,
+                   choices=["bfloat16", "float32"])
+    g.add_argument("--param_dtype", type=str, default=d.param_dtype)
+    _add_bool_flag(g, "use_pallas", d.use_pallas, "use fused Pallas kernels")
+    g.add_argument("--mesh_shape", type=str, default=d.mesh_shape)
+    g.add_argument("--vgg_weights", type=str, default=d.vgg_weights)
+    return p
+
+
+def opts_from_args(argv: Optional[Tuple[str, ...]] = None,
+                   mode: str = "train") -> Opts:
+    """Parse argv into an :class:`Opts`, filling non-parsed fields with
+    their defaults (test-mode parses no training flags and vice versa)."""
+    ns = vars(build_parser(mode).parse_args(argv))
+    ns["use_gp"] = ns.pop("GP", Opts.use_gp)
+    fields = {f.name for f in dataclasses.fields(Opts)}
+    return Opts(**{k: v for k, v in ns.items() if k in fields})

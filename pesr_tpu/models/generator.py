@@ -1,0 +1,138 @@
+"""EDSR-style residual generator with sub-pixel upsampler (SURVEY.md §2
+item 2, §3.4).
+
+Reference behavior being rebuilt (reconstructed; mount was empty —
+SURVEY.md §0): head 3x3 conv -> ``num_blocks`` residual blocks
+(conv-ReLU-conv, residual scaled by ``res_scale``) -> tail conv + global
+skip -> per-stage [conv to 4C, PixelShuffle(2)] upsampling -> 3-channel
+output conv.  Defaults 32 blocks / 256 channels / res_scale 0.1
+(~43 M params).
+
+TPU-native choices:
+  * NHWC layout end-to-end (TPU conv layout; torch checkpoints are
+    converted OIHW->HWIO in pesr_tpu/convert.py).
+  * bfloat16 compute / float32 params by default — convs hit the MXU in
+    bf16 with f32 accumulation; the residual adds stay in compute dtype.
+  * The body is rolled with ``nn.scan`` -> ONE compiled ResBlock body
+    executed ``num_blocks`` times: compile time and HLO size stay flat as
+    the net deepens, and XLA still pipelines HBM weight streaming.
+  * Optional fused Pallas residual-block path (pesr_tpu/ops/pallas) behind
+    ``use_pallas`` with numerics-parity tests against this XLA reference.
+
+I/O contract: input is NHWC in [-1, 1] (see pesr_tpu/data/augment.py for
+the uint8 <-> [-1,1] convention); output is NHWC in approximately [-1, 1]
+(unclamped, like the reference — clamping happens at quantization).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pesr_tpu.ops.pixel_shuffle import pixel_shuffle
+
+Dtype = Any
+
+
+class ResBlock(nn.Module):
+    """conv3x3 -> ReLU -> conv3x3, residual scaled by ``res_scale``."""
+
+    num_channels: int
+    res_scale: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.Conv(self.num_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="conv1")(x)
+        y = nn.relu(y)
+        y = nn.Conv(self.num_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="conv2")(y)
+        return x + jnp.asarray(self.res_scale, y.dtype) * y
+
+
+class _ScanBody(nn.Module):
+    """Adapter giving ResBlock the (carry, x) -> (carry, y) scan signature."""
+
+    num_channels: int
+    res_scale: float
+    dtype: Dtype
+    param_dtype: Dtype
+
+    @nn.compact
+    def __call__(self, carry, _):
+        out = ResBlock(self.num_channels, self.res_scale, self.dtype,
+                       self.param_dtype, name="block")(carry)
+        return out, None
+
+
+class Upsampler(nn.Module):
+    """x2 sub-pixel stages: [conv C->4C, depth-to-space(2)] per stage."""
+
+    num_channels: int
+    num_stages: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_stages):
+            x = nn.Conv(4 * self.num_channels, (3, 3), padding="SAME",
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name=f"conv{i}")(x)
+            x = pixel_shuffle(x, 2)
+        return x
+
+
+class Generator(nn.Module):
+    """The PESR generator (SURVEY.md §3.4 hot path)."""
+
+    scale: int = 4
+    num_blocks: int = 32
+    num_channels: int = 256
+    res_scale: float = 0.1
+    img_channels: int = 3
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        stage_map = {1: 0, 2: 1, 4: 2, 8: 3}
+        if self.scale not in stage_map:
+            raise ValueError(
+                f"scale must be one of {sorted(stage_map)}, got {self.scale}")
+        num_stages = stage_map[self.scale]
+        x = x.astype(self.dtype)
+
+        head = nn.Conv(self.num_channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="head")(x)
+
+        # Rolled residual body: one traced block, scanned num_blocks times.
+        # Weights are stacked on a leading axis; convert.py un/re-stacks
+        # when mapping to the reference's per-block torch tensors.
+        body = nn.scan(
+            _ScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.num_blocks,
+        )(self.num_channels, self.res_scale, self.dtype, self.param_dtype,
+          name="body")
+        y, _ = body(head, None)
+
+        y = nn.Conv(self.num_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="tail")(y)
+        y = y + head  # global skip (SURVEY.md §3.4)
+
+        y = Upsampler(self.num_channels, num_stages, self.dtype,
+                      self.param_dtype, name="upsampler")(y)
+        out = nn.Conv(self.img_channels, (3, 3), padding="SAME",
+                      dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="out")(y)
+        return out.astype(jnp.float32)

@@ -1,0 +1,74 @@
+"""Model construction/forward tests (SURVEY.md §4 unit tier)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pesr_tpu.models import Discriminator, Generator, VGG19Features
+
+
+def _count_params(tree):
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+@pytest.mark.parametrize("scale", [2, 4, 8])
+def test_generator_output_shape(scale):
+    g = Generator(scale=scale, num_blocks=2, num_channels=8,
+                  dtype=jnp.float32)
+    x = jnp.zeros((2, 12, 10, 3))
+    params = g.init(jax.random.key(0), x)
+    y = g.apply(params, x)
+    assert y.shape == (2, 12 * scale, 10 * scale, 3)
+    assert y.dtype == jnp.float32
+
+
+def test_generator_default_param_count():
+    """Default config is the EDSR-scale ~43M-param net (SURVEY.md §2.2)."""
+    g = Generator()
+    params = jax.eval_shape(
+        lambda: g.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3))))
+    n = _count_params(params)
+    assert 40e6 < n < 46e6, n
+
+
+def test_generator_residual_path_identity():
+    """With res_scale=0 the body is an identity over the head features:
+    output equals the (head -> tail+skip -> upsample -> out) path, and
+    must be finite and input-dependent."""
+    g = Generator(scale=2, num_blocks=3, num_channels=8, res_scale=0.0,
+                  dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (1, 6, 6, 3))
+    params = g.init(jax.random.key(0), x)
+    y1 = g.apply(params, x)
+    y2 = g.apply(params, x * 2.0)
+    assert np.isfinite(np.asarray(y1)).all()
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_discriminator_logits_shape():
+    d = Discriminator(dtype=jnp.float32)
+    x = jnp.zeros((4, 96, 96, 3))
+    params = d.init(jax.random.key(0), x)
+    logits = d.apply(params, x)
+    assert logits.shape == (4, 1)
+    assert logits.dtype == jnp.float32
+
+
+def test_discriminator_spectral_norm_runs():
+    d = Discriminator(spectral_norm=True, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(2), (2, 48, 48, 3))
+    params = d.init(jax.random.key(0), x)
+    logits = d.apply(params, x)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.parametrize("layer,expected_ch,expected_stride",
+                         [("22", 128, 2), ("54", 512, 16)])
+def test_vgg_feature_shapes(layer, expected_ch, expected_stride):
+    m = VGG19Features(layer=layer, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.key(0), x)
+    feats = m.apply(params, x)
+    s = 64 // expected_stride
+    assert feats.shape == (1, s, s, expected_ch)
