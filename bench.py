@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Headline benchmark: tiled whole-image SR throughput on one chip
+(BASELINE.json:10; target >= 50 MP/s/chip output on v5e, BASELINE.md).
+
+Measures the flagship generator (32 blocks x 256 channels, bf16 compute)
+running the device-resident tiled-inference engine
+(pesr_tpu.ops.tiling.BatchTiledUpscaler) over DIV2K-val-sized synthetic
+images (510x336 LR -> 2040x1344 HR at x4): pad + overlap-tile + batched
+forwards + core-crop + stitch, all inside one XLA program per image
+batch.  Timed work includes the uint8 image upload and on-device
+stitching; the SR canvas stays device-resident (a scalar fetch forces
+execution) — PNG export is test.py's job and on this session's tunneled
+TPU the host link is a dev-harness artifact (~20 MB/s D2H) that would
+measure the tunnel, not the chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "MP/s/chip", "vs_baseline": ...}
+(vs_baseline = value / 50.0, the BASELINE.md contract.)
+
+Env overrides: BENCH_TILE, BENCH_OVERLAP, BENCH_IMAGES, BENCH_BLOCKS,
+BENCH_CHANNELS, BENCH_REPEATS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    # Persistent compilation cache: the flagship tiled program takes
+    # ~1 min to compile; repeat bench runs should pay that once.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from pesr_tpu.models import Generator
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+
+    tile = int(os.environ.get("BENCH_TILE", "170"))
+    overlap = int(os.environ.get("BENCH_OVERLAP", "8"))
+    n_images = int(os.environ.get("BENCH_IMAGES", "8"))
+    blocks = int(os.environ.get("BENCH_BLOCKS", "32"))
+    channels = int(os.environ.get("BENCH_CHANNELS", "256"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    scale = 4
+
+    dev = jax.devices()[0]
+    print(f"[bench] device={dev} tile={tile} overlap={overlap} "
+          f"images={n_images} model={blocks}x{channels}", file=sys.stderr)
+
+    gen = Generator(scale=scale, num_blocks=blocks, num_channels=channels)
+    variables = jax.jit(gen.init)(jax.random.key(0),
+                                  jnp.zeros((1, 16, 16, 3)))
+
+    # DIV2K-val-like LR inputs (510x336 -> 2040x1344 HR output).
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (n_images, 510, 336, 3), dtype=np.uint8)
+
+    tiler = BatchTiledUpscaler(gen.apply, variables, scale, tile, overlap)
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        canvas = tiler.upscale_batch_device(imgs)
+        _ = np.asarray(canvas[0, 0, 0, 0])  # scalar fetch -> force exec
+        return time.perf_counter() - t0
+
+    once()  # compile + warm
+    elapsed = min(once() for _ in range(repeats))
+
+    out_mp = n_images * (510 * scale) * (336 * scale) / 1e6
+    mps = out_mp / elapsed
+    print(f"[bench] {out_mp:.1f} MP in {elapsed:.3f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "tiled_x4_inference_throughput",
+        "value": round(mps, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(mps / 50.0, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,342 @@
+"""Host-side datasets: DIV2K/benchmark folders + synthetic images
+(SURVEY.md §2 item 5, §7.4).
+
+The reference's ``dataset.py`` provides torch Datasets for (a) DIV2K
+LR/HR training pairs with random aligned 48/192 crops and (b) full-image
+benchmark eval sets (Set5/Set14/B100/Urban100/PIRM).  Equivalents here:
+
+  * ``PairedImageFolder`` — any HR dir with optional pre-generated LR dir
+    (DIV2K "X4" naming convention ``0001x4.png`` and plain same-name
+    fallback).  Missing LR dir -> LR is synthesized on device
+    (augment.prepare_train_batch) from the HR crop.
+  * ``SyntheticImages`` — procedural HR corpus so every pipeline stage
+    runs in this datasets-free environment (SURVEY.md §7: no DIV2K on
+    disk; BASELINE configs still need end-to-end runs).
+  * ``PatchIterator`` — random aligned LR/HR uint8 crop batches.
+  * ``Prefetcher`` — background-thread pipelining of host batch assembly
+    with device compute (the reference's DataLoader-worker role).
+
+Decoded images are cached in RAM (DIV2K-scale fits: ~800 x ~8 MB).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pesr_tpu.ops.resize import resize_kernel_matrix
+from pesr_tpu.utils.image_io import imread_uint8
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+
+# --------------------------------------------------------------------------
+# Sources
+# --------------------------------------------------------------------------
+
+
+class SyntheticImages:
+    """Procedural HR images: smooth low-frequency fields + fine texture.
+
+    Deterministic per (seed, index); statistics are natural-image-ish
+    enough to exercise training/eval (bicubic-downsamplable structure at
+    several scales), NOT a quality benchmark.
+    """
+
+    def __init__(self, num_images: int = 32, height: int = 480,
+                 width: int = 480, seed: int = 0) -> None:
+        self.num_images = num_images
+        self.height, self.width = height, width
+        self.seed = seed
+        self._cache: Dict[int, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return self.num_images
+
+    def name(self, idx: int) -> str:
+        return f"synthetic_{idx:04d}"
+
+    def _render(self, idx: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        h, w = self.height, self.width
+        img = np.zeros((h, w, 3), np.float64)
+        # Sum of smooth random cosine gratings at mixed frequencies.
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        for _ in range(6):
+            fy, fx = rng.uniform(0.5, 24.0, 2)
+            phase = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(0.05, 0.35)
+            grating = np.cos(2 * np.pi * (fy * yy / h + fx * xx / w) + phase)
+            img += amp * grating[:, :, None] * rng.uniform(0.3, 1.0, 3)
+        # Piecewise structure: a few random rectangles (edges for SR).
+        for _ in range(8):
+            y0, x0 = rng.integers(0, h - 8), rng.integers(0, w - 8)
+            y1 = y0 + int(rng.integers(8, h // 3))
+            x1 = x0 + int(rng.integers(8, w // 3))
+            img[y0:y1, x0:x1] += rng.uniform(-0.4, 0.4, 3)
+        # Fine noise texture.
+        img += rng.normal(0, 0.02, (h, w, 3))
+        img = (img - img.min()) / (np.ptp(img) + 1e-9)
+        return (img * 255.0).round().astype(np.uint8)
+
+    def get(self, idx: int) -> np.ndarray:
+        if idx not in self._cache:
+            self._cache[idx] = self._render(idx)
+        return self._cache[idx]
+
+
+class PairedImageFolder:
+    """HR image dir with optional aligned LR dir (DIV2K layout).
+
+    ``lr_dir=None`` means no LR files exist; callers synthesize LR.
+    LR filename resolution tries, in order: same name, DIV2K's
+    ``<stem>x<scale><ext>``.
+    """
+
+    def __init__(self, hr_dir: str, lr_dir: Optional[str] = None,
+                 scale: int = 4, cache: bool = True) -> None:
+        self.hr_dir, self.lr_dir, self.scale = hr_dir, lr_dir, scale
+        self.files = sorted(
+            f for f in os.listdir(hr_dir)
+            if f.lower().endswith(_IMG_EXTS))
+        if not self.files:
+            raise FileNotFoundError(f"no images under {hr_dir}")
+        self._cache_enabled = cache
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def name(self, idx: int) -> str:
+        return os.path.splitext(self.files[idx])[0]
+
+    def _read(self, path: str) -> np.ndarray:
+        if not self._cache_enabled:
+            return imread_uint8(path)
+        if path not in self._cache:
+            self._cache[path] = imread_uint8(path)
+        return self._cache[path]
+
+    def get_hr(self, idx: int) -> np.ndarray:
+        return self._read(os.path.join(self.hr_dir, self.files[idx]))
+
+    def lr_path(self, idx: int) -> Optional[str]:
+        if self.lr_dir is None:
+            return None
+        stem, ext = os.path.splitext(self.files[idx])
+        for cand in (self.files[idx], f"{stem}x{self.scale}{ext}"):
+            p = os.path.join(self.lr_dir, cand)
+            if os.path.exists(p):
+                return p
+        return None
+
+    def get_lr(self, idx: int) -> Optional[np.ndarray]:
+        p = self.lr_path(idx)
+        return self._read(p) if p else None
+
+
+def host_bicubic_downsample(hr: np.ndarray, scale: int) -> np.ndarray:
+    """MATLAB-bicubic downsample on host (numpy matmuls) with uint8
+    requantization — mirrors how DIV2K LR files were generated, for
+    eval-set use when only HR images exist on disk."""
+    h, w = hr.shape[:2]
+    h2, w2 = (h // scale) * scale, (w // scale) * scale
+    hr = hr[:h2, :w2]
+    mh = resize_kernel_matrix(h2, h2 // scale).astype(np.float64)
+    mw = resize_kernel_matrix(w2, w2 // scale).astype(np.float64)
+    x = hr.astype(np.float64)
+    x = np.einsum("oh,hwc->owc", mh, x, optimize=True)
+    x = np.einsum("ow,hwc->hoc", mw, x, optimize=True)
+    return np.clip(np.round(x), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Training iterator
+# --------------------------------------------------------------------------
+
+
+class PatchIterator:
+    """Infinite iterator of random aligned uint8 crop batches.
+
+    Yields ``(lr_batch or None, hr_batch)``: LR crops come from LR files
+    when present, else None (device synthesizes).  Crops are aligned:
+    LR window [y, y+p) maps to HR window [y*s, (y+p)*s).
+    """
+
+    def __init__(self, source, patch_size: int, scale: int,
+                 batch_size: int, seed: int = 0,
+                 use_lr_files: bool = True) -> None:
+        self.src = source
+        self.p, self.s, self.b = patch_size, scale, batch_size
+        self.rng = np.random.default_rng(seed)
+        self.use_lr_files = use_lr_files and getattr(source, "lr_dir", None)
+
+    def __iter__(self) -> Iterator[Tuple[Optional[np.ndarray], np.ndarray]]:
+        return self
+
+    def __next__(self) -> Tuple[Optional[np.ndarray], np.ndarray]:
+        p, s = self.p, self.s
+        hr_batch = np.empty((self.b, p * s, p * s, 3), np.uint8)
+        lr_batch = (np.empty((self.b, p, p, 3), np.uint8)
+                    if self.use_lr_files else None)
+        for i in range(self.b):
+            idx = int(self.rng.integers(len(self.src)))
+            hr = (self.src.get_hr(idx) if hasattr(self.src, "get_hr")
+                  else self.src.get(idx))
+            lr = self.src.get_lr(idx) if self.use_lr_files else None
+            if lr is not None:
+                lh, lw = lr.shape[:2]
+                y = int(self.rng.integers(0, lh - p + 1))
+                x = int(self.rng.integers(0, lw - p + 1))
+                lr_batch[i] = lr[y:y + p, x:x + p]
+                hr_batch[i] = hr[y * s:(y + p) * s, x * s:(x + p) * s]
+            else:
+                hh, hw = hr.shape[:2]
+                y = int(self.rng.integers(0, hh - p * s + 1))
+                x = int(self.rng.integers(0, hw - p * s + 1))
+                hr_batch[i] = hr[y:y + p * s, x:x + p * s]
+        return lr_batch, hr_batch
+
+
+class Prefetcher:
+    """Background-thread prefetch of an iterator (depth-bounded)."""
+
+    _SENTINEL = object()
+
+    def __init__(self, it: Iterator, depth: int = 4) -> None:
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._it = it
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self) -> None:
+        try:
+            for item in self._it:
+                if self._stop.is_set():
+                    return
+                self._q.put(item)
+        finally:
+            self._q.put(self._SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            raise StopIteration
+        return item
+
+    def close(self) -> None:
+        self._stop.set()
+        # Drain so the worker unblocks if it is waiting on a full queue.
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+# --------------------------------------------------------------------------
+# Top-level constructors driven by Opts
+# --------------------------------------------------------------------------
+
+
+def _resolve_train_source(opts) -> object:
+    name = opts.train_dataset.lower()
+    if name == "synthetic":
+        return SyntheticImages(num_images=32, seed=opts.seed)
+    # DIV2K disk layout: <root>/DIV2K/DIV2K_train_HR +
+    # DIV2K_train_LR_bicubic/X<scale>; fall back to <root>/<name> as a
+    # plain HR folder.
+    div2k_hr = os.path.join(opts.data_root, "DIV2K", "DIV2K_train_HR")
+    div2k_lr = os.path.join(opts.data_root, "DIV2K",
+                            "DIV2K_train_LR_bicubic", f"X{opts.scale}")
+    if name == "div2k" and os.path.isdir(div2k_hr):
+        lr = div2k_lr if os.path.isdir(div2k_lr) else None
+        return PairedImageFolder(div2k_hr, lr, opts.scale)
+    plain = os.path.join(opts.data_root, opts.train_dataset)
+    if os.path.isdir(plain):
+        return PairedImageFolder(plain, None, opts.scale)
+    raise FileNotFoundError(
+        f"train dataset {opts.train_dataset!r} not found under "
+        f"{opts.data_root!r} (use --train_dataset synthetic for the "
+        f"procedural corpus)")
+
+
+def make_train_iterator(opts) -> Tuple[Iterator, bool]:
+    """Build the prefetched train-batch iterator.
+
+    Returns ``(iterator, lr_from_files)``; when ``lr_from_files`` is
+    False batches carry ``lr=None`` and the on-device stage synthesizes
+    LR (augment.prepare_train_batch).
+    """
+    src = _resolve_train_source(opts)
+    it = PatchIterator(src, opts.patch_size, opts.scale, opts.batch_size,
+                       seed=opts.seed)
+    return Prefetcher(it), bool(it.use_lr_files)
+
+
+# --------------------------------------------------------------------------
+# Eval sets
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class EvalSample:
+    name: str
+    lr: np.ndarray    # HWC uint8
+    hr: Optional[np.ndarray]  # HWC uint8 (None if no ground truth)
+
+
+def load_eval_set(opts, dataset: Optional[str] = None,
+                  max_images: Optional[int] = None) -> List[EvalSample]:
+    """Load a benchmark set as full images (SURVEY.md §3.3).
+
+    Layouts tried under ``data_root``: ``<name>/HR`` + ``<name>/LR_bicubic/
+    X<scale>`` (standard benchmark layout), then ``<name>`` as a flat HR
+    dir (LR synthesized on host with MATLAB-bicubic + uint8 quantization),
+    then the synthetic corpus for ``synthetic``.
+    """
+    name = dataset or opts.test_dataset
+    samples: List[EvalSample] = []
+    if name.lower() == "synthetic":
+        src = SyntheticImages(num_images=max_images or 5,
+                              seed=opts.seed + 1)
+        for i in range(len(src)):
+            hr = src.get(i)
+            lr = host_bicubic_downsample(hr, opts.scale)
+            h, w = lr.shape[:2]
+            samples.append(EvalSample(src.name(i), lr,
+                                      hr[:h * opts.scale, :w * opts.scale]))
+        return samples
+
+    root = os.path.join(opts.data_root, name)
+    hr_dir = os.path.join(root, "HR")
+    lr_dir = os.path.join(root, "LR_bicubic", f"X{opts.scale}")
+    if os.path.isdir(hr_dir):
+        folder = PairedImageFolder(
+            hr_dir, lr_dir if os.path.isdir(lr_dir) else None, opts.scale,
+            cache=False)
+    elif os.path.isdir(root):
+        folder = PairedImageFolder(root, None, opts.scale, cache=False)
+    else:
+        raise FileNotFoundError(f"eval dataset {name!r} not found under "
+                                f"{opts.data_root!r}")
+
+    n = len(folder) if max_images is None else min(len(folder), max_images)
+    for i in range(n):
+        hr = folder.get_hr(i)
+        lr = folder.get_lr(i)
+        if lr is None:
+            lr = host_bicubic_downsample(hr, opts.scale)
+        h, w = lr.shape[:2]
+        samples.append(EvalSample(folder.name(i), lr,
+                                  hr[:h * opts.scale, :w * opts.scale]))
+    return samples

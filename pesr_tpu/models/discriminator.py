@@ -90,14 +90,16 @@ class SNConv(nn.Module):
                           self.param_dtype)
         if self.use_sn:
             kernel = _spectral_normalize(kernel)
+        # Compute dtype throughout (MXU accumulates bf16 convs in f32
+        # internally); preferred_element_type is avoided because mixed
+        # fwd/cotangent dtypes break the conv VJP.
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(self.strides, self.strides),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
-        return (y + bias.astype(jnp.float32)).astype(self.dtype)
+        return y + bias.astype(self.dtype)
 
 
 class Discriminator(nn.Module):

@@ -1,0 +1,214 @@
+"""Tiled whole-image inference with overlap-stitch (SURVEY.md §5.7;
+BASELINE.json:5,10).
+
+The reference runs one whole-image forward per benchmark image — fine on
+a GPU with dynamic shapes, wrong on TPU where (a) every new image shape
+is a recompile and (b) the 50 MP/s/chip contract needs uniform batched
+work.  This engine:
+
+  * pads the LR image (symmetric/replicate) to a fixed tile grid,
+  * cuts fixed-size tiles with a halo of ``overlap`` LR pixels,
+  * streams them through ONE jitted forward at a fixed batch shape
+    (uint8 in -> uint8 SR tile cores out, so host<->device traffic is
+    1 byte/px each way and the normalize/denormalize ride inside XLA),
+  * writes back only each tile's core — halo compute is the price of
+    seam-free stitching (conv receptive field ~= 2+2*num_blocks px, so
+    an 8 px halo leaves seams below quantization at default depth).
+
+Every image size reuses the same compiled program: compile once, stream
+tiles forever.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pesr_tpu.data.augment import denormalize_to_uint8, normalize_uint8
+
+
+class BatchTiledUpscaler:
+    """Fully device-resident tiled SR over a batch of SAME-SIZE images.
+
+    The host-stitching :class:`TiledUpscaler` moves every tile batch
+    host<->device; on hosts with thin PCIe (or this session's network
+    tunnel) that dominates wall time.  Here the ENTIRE pipeline — pad,
+    cut overlapping tiles, batched generator forwards, core-crop, stitch
+    — is one jitted program: images go up once as uint8, the stitched SR
+    canvas comes back once (or stays on device for downstream use).
+
+    The tile loop is a ``lax.fori_loop`` over grid positions with
+    ``dynamic_slice`` / ``dynamic_update_slice``; the image batch is the
+    MXU batch dimension.  One compile per distinct (B, H, W).
+    """
+
+    def __init__(self, apply_fn: Callable, variables, scale: int,
+                 tile_size: int = 128, overlap: int = 8) -> None:
+        self.scale, self.tile, self.ov = scale, tile_size, overlap
+        self._variables = variables
+        self._apply_fn = apply_fn
+        self._compiled = {}
+
+    def _build(self, b: int, h: int, w: int):
+        t, ov, s = self.tile, self.ov, self.scale
+        nh, nw = math.ceil(h / t), math.ceil(w / t)
+        apply_fn, variables = self._apply_fn, self._variables
+
+        def run(padded_u8: jnp.ndarray) -> jnp.ndarray:
+            x = normalize_uint8(padded_u8)
+            canvas = jnp.zeros((b, nh * t * s, nw * t * s, 3), jnp.uint8)
+
+            def body(k, canvas):
+                i, j = k // nw, k % nw
+                tiles = jax.lax.dynamic_slice(
+                    x, (0, i * t, j * t, 0), (b, t + 2 * ov, t + 2 * ov, 3))
+                sr = apply_fn(variables, tiles)
+                core = denormalize_to_uint8(
+                    sr[:, ov * s:(ov + t) * s, ov * s:(ov + t) * s, :])
+                return jax.lax.dynamic_update_slice(
+                    canvas, core, (0, i * t * s, j * t * s, 0))
+
+            return jax.lax.fori_loop(0, nh * nw, body, canvas)
+
+        return jax.jit(run), (nh, nw)
+
+    def upscale_batch_device(self, imgs_u8: np.ndarray) -> jnp.ndarray:
+        """[B,H,W,3] uint8 host -> [B, nh*t*s, nw*t*s, 3] uint8 DEVICE
+        array (padded canvas; crop to H*s x W*s for the true image)."""
+        if imgs_u8.dtype != np.uint8 or imgs_u8.ndim != 4:
+            raise ValueError("expected BHWC uint8")
+        b, h, w = imgs_u8.shape[:3]
+        key = (b, h, w)
+        if key not in self._compiled:
+            self._compiled[key] = self._build(b, h, w)
+        run, (nh, nw) = self._compiled[key]
+        t, ov = self.tile, self.ov
+        padded = np.stack([
+            _pad_replicate(img, (ov, nh * t - h + ov, ov, nw * t - w + ov))
+            for img in imgs_u8])
+        return run(jnp.asarray(padded))
+
+    def upscale_batch(self, imgs_u8: np.ndarray) -> np.ndarray:
+        """Host-side convenience: returns [B, H*s, W*s, 3] uint8."""
+        h, w = imgs_u8.shape[1:3]
+        canvas = np.asarray(self.upscale_batch_device(imgs_u8))
+        return canvas[:, :h * self.scale, :w * self.scale]
+
+
+def _pad_replicate(img: np.ndarray, pads: Tuple[int, int, int, int]
+                   ) -> np.ndarray:
+    """Edge-replicate pad (top, bottom, left, right) — safe for pads
+    larger than the image (applied in capped steps)."""
+    top, bottom, left, right = pads
+    out = img
+    while top or bottom or left or right:
+        h, w = out.shape[:2]
+        t, b = min(top, h), min(bottom, h)
+        l, r = min(left, w), min(right, w)
+        out = np.pad(out, ((t, b), (l, r), (0, 0)), mode="edge")
+        top, bottom, left, right = top - t, bottom - b, left - l, right - r
+    return out
+
+
+class TiledUpscaler:
+    """Fixed-shape tiled SR executor around a generator apply function.
+
+    ``apply_fn(variables, lr_float_nhwc) -> sr_float_nhwc`` is the plain
+    flax apply; this class owns normalization, tiling, batching, core
+    cropping, and stitching.
+    """
+
+    def __init__(self, apply_fn: Callable, variables, scale: int,
+                 tile_size: int = 96, overlap: int = 8,
+                 batch_size: int = 8) -> None:
+        if tile_size <= 0 or overlap < 0:
+            raise ValueError("tile_size must be >0 and overlap >=0")
+        self.scale = scale
+        self.tile = tile_size
+        self.ov = overlap
+        self.batch = batch_size
+        self._variables = variables
+
+        t_in = tile_size + 2 * overlap
+
+        def forward(tiles_u8: jnp.ndarray) -> jnp.ndarray:
+            x = normalize_uint8(tiles_u8)
+            sr = apply_fn(variables, x)
+            # Crop halo cores on device: less D2H traffic, static slice.
+            lo = overlap * scale
+            hi = lo + tile_size * scale
+            return denormalize_to_uint8(sr[:, lo:hi, lo:hi, :])
+
+        self._forward = jax.jit(forward)
+        self._in_shape = (batch_size, t_in, t_in, 3)
+
+    def warmup(self) -> None:
+        """Compile the fixed-shape forward ahead of timing loops."""
+        self._forward(jnp.zeros(self._in_shape, jnp.uint8)
+                      ).block_until_ready()
+
+    def upscale(self, lr_u8: np.ndarray) -> np.ndarray:
+        """HWC uint8 LR -> HWC uint8 SR (H*scale, W*scale)."""
+        tiles, grid, hw = self._cut(lr_u8)
+        cores = self._run(tiles)
+        return self._stitch(cores, grid, hw)
+
+    def upscale_many(self, imgs) -> list:
+        """Upscale a list of images, batching tiles ACROSS images so the
+        last partial batch is amortized once, not per image."""
+        all_tiles, metas = [], []
+        for img in imgs:
+            tiles, grid, hw = self._cut(img)
+            metas.append((len(all_tiles), len(tiles), grid, hw))
+            all_tiles.extend(tiles)
+        cores = self._run(all_tiles)
+        return [self._stitch(cores[o:o + n], grid, hw)
+                for (o, n, grid, hw) in metas]
+
+    # -- internals --------------------------------------------------------
+
+    def _cut(self, lr_u8: np.ndarray):
+        if lr_u8.dtype != np.uint8 or lr_u8.ndim != 3:
+            raise ValueError("expected HWC uint8")
+        h, w = lr_u8.shape[:2]
+        t, ov = self.tile, self.ov
+        nh, nw = math.ceil(h / t), math.ceil(w / t)
+        padded = _pad_replicate(
+            lr_u8, (ov, nh * t - h + ov, ov, nw * t - w + ov))
+        tiles = [
+            padded[i * t:(i + 1) * t + 2 * ov, j * t:(j + 1) * t + 2 * ov]
+            for i in range(nh) for j in range(nw)
+        ]
+        return tiles, (nh, nw), (h, w)
+
+    def _run(self, tiles) -> np.ndarray:
+        n = len(tiles)
+        b = self.batch
+        out: Optional[np.ndarray] = None
+        for start in range(0, n, b):
+            chunk = tiles[start:start + b]
+            if len(chunk) < b:  # pad the tail batch to the fixed shape
+                chunk = chunk + [chunk[-1]] * (b - len(chunk))
+            res = np.asarray(self._forward(jnp.asarray(np.stack(chunk))))
+            if out is None:
+                out = np.empty((n,) + res.shape[1:], np.uint8)
+            out[start:start + min(b, n - start)] = res[:min(b, n - start)]
+        assert out is not None
+        return out
+
+    def _stitch(self, cores: np.ndarray, grid, hw) -> np.ndarray:
+        nh, nw = grid
+        h, w = hw
+        t, s = self.tile, self.scale
+        canvas = np.empty((nh * t * s, nw * t * s, 3), np.uint8)
+        k = 0
+        for i in range(nh):
+            for j in range(nw):
+                canvas[i * t * s:(i + 1) * t * s,
+                       j * t * s:(j + 1) * t * s] = cores[k]
+                k += 1
+        return canvas[:h * s, :w * s]

@@ -1,0 +1,75 @@
+"""Device mesh + data-parallel shardings (SURVEY.md §2.10/§2.11, §7.6).
+
+Strategy: pure data parallelism over a 1-D mesh — the generator is a
+~43 M-param convnet that fits on one chip with room to spare, so TP/PP
+would only add collective latency (SURVEY.md §2.10 "do not build").
+The batch axis is sharded over ``DATA_AXIS``; params/optimizer states are
+replicated.  Under ``jax.jit`` the gradient all-reduce compiles to a
+``psum`` riding ICI — the NCCL-equivalent demanded by SURVEY.md §2.11 is
+the XLA collective compiler, not hand-written comm calls.
+
+The same code path runs on: one real TPU chip (mesh of 1), a full v5e
+slice (mesh of N over ICI), and the 8-device virtual CPU mesh used by
+tests and the driver's multi-chip dry run.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build the 1-D data-parallel mesh.
+
+    ``num_devices=None`` uses all local devices.  Raises if the request
+    exceeds what is available — a truncated silent mesh would skew the
+    global batch size.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        if num_devices > len(devs):
+            raise ValueError(
+                f"requested {num_devices} devices, have {len(devs)}")
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (batch) across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (params, optimizer states, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host pytree of arrays with the batch axis sharded.
+
+    Requires axis 0 of every leaf to be divisible by the mesh size (the
+    data pipeline pads batches to the global batch size).
+    """
+    sh = batch_sharding(mesh)
+
+    def _put(x):
+        if x.shape[0] % mesh.size:
+            raise ValueError(
+                f"batch dim {x.shape[0]} not divisible by mesh size "
+                f"{mesh.size}")
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def shard_pytree_replicated(mesh: Mesh, tree: Any) -> Any:
+    """Device-put a pytree fully replicated across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,108 @@
+"""Checkpoint save/restore via orbax (SURVEY.md §5.4).
+
+The reference saves ``state_dict`` per epoch plus a best-PSNR copy into
+``check_point/<exp>/`` and resumes via ``--pretrained_model``.  Mirror:
+``save_train_ckpt`` writes ``step_<N>`` directories holding {generator,
+discriminator, step}; ``restore_*`` accept either a specific step dir or
+the experiment dir (resolving the latest step).  Converted torch
+checkpoints (pesr_tpu/convert.py) restore through the same path.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_STEP_RE = re.compile(r"^step_(\d+)$")
+
+
+def _to_abs(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+def latest_step_dir(ckpt_dir: str) -> Optional[str]:
+    ckpt_dir = _to_abs(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = []
+    for entry in os.listdir(ckpt_dir):
+        m = _STEP_RE.match(entry)
+        if m:
+            steps.append((int(m.group(1)), entry))
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, max(steps)[1])
+
+
+def save_train_ckpt(ckpt_dir: str, step: int, g_state: Any,
+                    d_state: Any = None) -> str:
+    """Write one step directory: {g: {params, opt_state}, d: ..., step}."""
+    path = os.path.join(_to_abs(ckpt_dir), f"step_{step}")
+    payload = {
+        "step": np.asarray(step),
+        "g": {"params": jax.device_get(g_state.params),
+              "opt_state": jax.device_get(g_state.opt_state)},
+    }
+    if d_state is not None:
+        payload["d"] = {"params": jax.device_get(d_state.params),
+                        "opt_state": jax.device_get(d_state.opt_state)}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    return path
+
+
+def _resolve(path: str) -> str:
+    path = _to_abs(path)
+    resolved = path if _STEP_RE.match(os.path.basename(path)) else None
+    if resolved is None:
+        resolved = latest_step_dir(path)
+    if resolved is None or not os.path.isdir(resolved):
+        raise FileNotFoundError(f"no checkpoint found at {path}")
+    return resolved
+
+
+def restore_payload(path: str) -> Any:
+    """Restore a full saved payload from a step dir or experiment dir."""
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(_resolve(path))
+
+
+def restore_generator_params(path: str) -> Tuple[Any, int]:
+    """Restore just generator params (+ step) — the test.py path."""
+    payload = restore_payload(path)
+    return payload["g"]["params"], int(payload["step"])
+
+
+def validate_params_compat(expected: Any, restored: Any,
+                           what: str = "generator") -> None:
+    """Raise a readable error when a restored checkpoint does not match
+    the configured model (e.g. --num_blocks/--num_channels mismatch) —
+    otherwise the mismatch surfaces as a bare shape assert deep in XLA.
+
+    ``expected`` may be a concrete or ``jax.eval_shape`` pytree.
+    """
+    exp = {jax.tree_util.keystr(k): tuple(v.shape) for k, v in
+           jax.tree_util.tree_leaves_with_path(expected)}
+    got = {jax.tree_util.keystr(k): tuple(np.shape(v)) for k, v in
+           jax.tree_util.tree_leaves_with_path(restored)}
+    problems = []
+    for k in sorted(exp.keys() | got.keys()):
+        if k not in got:
+            problems.append(f"  missing in checkpoint: {k} {exp[k]}")
+        elif k not in exp:
+            problems.append(f"  unexpected in checkpoint: {k} {got[k]}")
+        elif exp[k] != got[k]:
+            problems.append(f"  shape mismatch at {k}: model wants "
+                            f"{exp[k]}, checkpoint has {got[k]}")
+    if problems:
+        raise ValueError(
+            f"checkpoint is incompatible with the configured {what} "
+            f"(check --num_blocks/--num_channels/--scale):\n"
+            + "\n".join(problems[:12])
+            + ("" if len(problems) <= 12
+               else f"\n  ... and {len(problems) - 12} more"))

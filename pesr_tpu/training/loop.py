@@ -1,0 +1,172 @@
+"""Training driver (SURVEY.md §2 item 7, §3.1/§3.2): the two-phase PESR
+recipe as host-side orchestration around the single-jit steps.
+
+Phase "pretrain" (BASELINE.json:8): L1-only generator training.
+Phase "train"   (BASELINE.json:9): RaGAN + VGG + TV fine-tune starting
+from ``--pretrained_model``.
+
+Per epoch: N jitted steps (batch prep fused on device), PSNR
+self-validation on ``num_valids`` images of the validation set
+(SURVEY.md §4 "training-time self-validation"), JSONL/stdout scalars,
+periodic orbax snapshots.  Everything device-side is sharded over the
+data-parallel mesh; this file never touches a device index.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pesr_tpu.config import Opts
+from pesr_tpu.data import augment, datasets
+from pesr_tpu.metrics import calc_psnr
+from pesr_tpu.models import Discriminator, Generator, VGG19Features
+from pesr_tpu.ops.tiling import TiledUpscaler
+from pesr_tpu.parallel import make_mesh, shard_batch, shard_pytree_replicated
+from pesr_tpu.training import checkpoint as ckpt
+from pesr_tpu.training import steps as steps_lib
+from pesr_tpu.training.state import (create_discriminator_state,
+                                     create_generator_state,
+                                     init_vgg_params)
+from pesr_tpu.utils.logging import AverageMeter, MetricLogger
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+def build_generator(opts: Opts) -> Generator:
+    return Generator(scale=opts.scale, num_blocks=opts.num_blocks,
+                     num_channels=opts.num_channels,
+                     res_scale=opts.res_scale,
+                     img_channels=opts.img_channels,
+                     dtype=_dtype(opts.compute_dtype))
+
+
+def build_discriminator(opts: Opts) -> Discriminator:
+    return Discriminator(spectral_norm=opts.spectral_norm,
+                         dtype=_dtype(opts.compute_dtype))
+
+
+def evaluate_psnr(opts: Opts, g_apply, g_params,
+                  max_images: Optional[int] = None) -> float:
+    """Self-validation: mean Y-PSNR over the validation set."""
+    samples = datasets.load_eval_set(
+        opts, opts.valid_dataset, max_images or opts.num_valids)
+    tiler = TiledUpscaler(g_apply, {"params": g_params}, opts.scale,
+                          opts.tile_size, opts.tile_overlap,
+                          opts.infer_batch)
+    meter = AverageMeter()
+    srs = tiler.upscale_many([s.lr for s in samples])
+    for s, sr in zip(samples, srs):
+        if s.hr is not None:
+            meter.update(calc_psnr(sr, s.hr, crop_border=opts.scale))
+    return meter.avg
+
+
+def run_training(opts: Opts) -> Dict[str, float]:
+    """Run the configured phase end-to-end; returns final summary."""
+    mesh = make_mesh(int(opts.mesh_shape) if opts.mesh_shape else None)
+    print(f"mesh: {mesh.devices.size} device(s) "
+          f"[{mesh.devices.flat[0].platform}], phase={opts.phase}")
+
+    rng = jax.random.key(opts.seed)
+    rng, g_key, d_key, v_key = jax.random.split(rng, 4)
+
+    gen = build_generator(opts)
+    g_state = create_generator_state(opts, gen, g_key)
+
+    if opts.pretrained_model:
+        params, at_step = ckpt.restore_generator_params(
+            opts.pretrained_model)
+        ckpt.validate_params_compat(g_state.params, params)
+        g_state = g_state.replace(params=params)
+        print(f"loaded pretrained generator (step {at_step}) "
+              f"from {opts.pretrained_model}")
+
+    g_state = shard_pytree_replicated(mesh, g_state)
+
+    gan_phase = opts.phase == "train"
+    d_state = vgg_params = None
+    if gan_phase:
+        disc = build_discriminator(opts)
+        d_state = shard_pytree_replicated(
+            mesh, create_discriminator_state(opts, disc, d_key))
+        vgg = VGG19Features(layer=opts.vgg_layer,
+                            dtype=_dtype(opts.compute_dtype))
+        if opts.alpha_vgg > 0.0:
+            vgg_params = shard_pytree_replicated(
+                mesh, init_vgg_params(opts, vgg, v_key))
+        step_fn = steps_lib.make_gan_step(
+            opts,
+            d_apply=lambda p, x: disc.apply({"params": p}, x),
+            vgg_apply=lambda p, x: vgg.apply({"params": p}, x))
+    else:
+        step_fn = steps_lib.make_pretrain_step(opts)
+
+    train_iter, lr_from_files = datasets.make_train_iterator(opts)
+    prep = jax.jit(functools.partial(augment.prepare_train_batch,
+                                     scale=opts.scale))
+
+    logger = MetricLogger(opts.check_point, name=opts.phase)
+    # Metrics stay as device arrays between log points — materializing
+    # them per-step would force a host sync and stall the TPU pipeline.
+    pending: list = []
+    global_step = 0
+    t_start = time.time()
+    summary: Dict[str, float] = {}
+
+    for epoch in range(opts.num_epochs):
+        for _ in range(opts.steps_per_epoch):
+            lr_u8, hr_u8 = next(train_iter)
+            batch = shard_batch(
+                mesh, {"hr": hr_u8} if lr_u8 is None
+                else {"hr": hr_u8, "lr": lr_u8})
+            rng, key = jax.random.split(rng)
+            lr_img, hr_img = prep(key, batch["hr"],
+                                  lr_u8=batch.get("lr"))
+
+            if gan_phase:
+                rng, gp_key = jax.random.split(rng)
+                g_state, d_state, metrics = step_fn(
+                    g_state, d_state, vgg_params, lr_img, hr_img, gp_key)
+            else:
+                g_state, metrics = step_fn(g_state, lr_img, hr_img)
+
+            global_step += 1
+            pending.append(metrics)
+            if global_step % opts.log_every == 0:
+                avg = {k: float(np.mean([np.asarray(m[k])
+                                         for m in pending]))
+                       for k in pending[0]}
+                logger.log(global_step, avg, prefix=opts.phase)
+                pending.clear()
+
+        if (epoch + 1) % opts.eval_every == 0:
+            try:
+                val_psnr = evaluate_psnr(
+                    opts, g_state.apply_fn,
+                    jax.device_get(g_state.params))
+                logger.log(global_step, {"val_psnr": val_psnr},
+                           prefix="val")
+                summary["val_psnr"] = val_psnr
+            except FileNotFoundError as e:
+                print(f"[val] skipped: {e}")
+
+        if (epoch + 1) % opts.snapshot_every == 0 \
+                or epoch + 1 == opts.num_epochs:
+            path = ckpt.save_train_ckpt(opts.check_point, global_step,
+                                        g_state, d_state)
+            print(f"[ckpt] saved {path}")
+
+    if hasattr(train_iter, "close"):
+        train_iter.close()
+    summary["steps"] = global_step
+    summary["wall_s"] = time.time() - t_start
+    logger.close()
+    return summary

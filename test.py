@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""PESR-compatible inference entry point (SURVEY.md §2 item 8, §3.3).
+
+Loads a generator checkpoint, tiled-upscales every image of a benchmark
+set, writes PNGs into ``<output_dir>/<dataset>/`` (consumed by the PIRM
+perceptual evaluation — pesr_tpu.metrics), and prints mean PSNR/SSIM and
+throughput:
+
+  python test.py --dataset Set5 --model_path check_point/pesr --scale 4
+
+Without datasets on disk: ``--dataset synthetic``.
+"""
+
+import os
+import sys
+import time
+
+from pesr_tpu.config import opts_from_args
+from pesr_tpu.data.datasets import load_eval_set
+from pesr_tpu.metrics import calc_psnr, calc_ssim
+from pesr_tpu.ops.tiling import TiledUpscaler
+from pesr_tpu.training import checkpoint as ckpt
+from pesr_tpu.training.loop import build_generator
+from pesr_tpu.utils.image_io import imwrite_uint8
+from pesr_tpu.utils.logging import AverageMeter
+
+
+def main(argv=None) -> int:
+    opts = opts_from_args(argv, mode="test")
+    gen = build_generator(opts)
+
+    if opts.model_path:
+        import jax
+        import jax.numpy as jnp
+        params, step = ckpt.restore_generator_params(opts.model_path)
+        expected = jax.eval_shape(
+            lambda: gen.init(jax.random.key(0),
+                             jnp.zeros((1, 8, 8, opts.img_channels))))
+        ckpt.validate_params_compat(expected["params"], params)
+        print(f"loaded generator at step {step} from {opts.model_path}")
+    else:
+        # Random init — exercises the full pipeline when no checkpoint
+        # exists yet (this environment ships none; SURVEY.md §7).
+        import jax
+        import jax.numpy as jnp
+        params = gen.init(
+            jax.random.key(opts.seed),
+            jnp.zeros((1, 8, 8, opts.img_channels)))["params"]
+        print("WARNING: no --model_path; using randomly-initialized "
+              "generator")
+
+    samples = load_eval_set(opts)
+    tiler = TiledUpscaler(gen.apply, {"params": params}, opts.scale,
+                          opts.tile_size, opts.tile_overlap,
+                          opts.infer_batch)
+    tiler.warmup()
+
+    out_dir = os.path.join(opts.output_dir, opts.test_dataset)
+    psnr_m, ssim_m = AverageMeter(), AverageMeter()
+    total_mp = 0.0
+    t0 = time.time()
+    srs = tiler.upscale_many([s.lr for s in samples])
+    elapsed = time.time() - t0
+
+    for s, sr in zip(samples, srs):
+        imwrite_uint8(os.path.join(out_dir, f"{s.name}.png"), sr)
+        total_mp += sr.shape[0] * sr.shape[1] / 1e6
+        if s.hr is not None:
+            psnr = calc_psnr(sr, s.hr, crop_border=opts.scale)
+            ssim = calc_ssim(sr, s.hr, crop_border=opts.scale)
+            psnr_m.update(psnr)
+            ssim_m.update(ssim)
+            print(f"{s.name}: PSNR {psnr:.2f} dB  SSIM {ssim:.4f}")
+
+    print(f"[{opts.test_dataset} x{opts.scale}] mean PSNR {psnr_m.avg:.2f} "
+          f"dB  mean SSIM {ssim_m.avg:.4f}  "
+          f"({total_mp / elapsed:.1f} MP/s output, {len(samples)} images)")
+    print(f"SR images written to {out_dir}/")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,104 @@
+"""Data pipeline tests (SURVEY.md §4): datasets, augmentation, alignment."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pesr_tpu.config import Opts
+from pesr_tpu.data import (augment_batch, denormalize_to_uint8,
+                           normalize_uint8, prepare_train_batch)
+from pesr_tpu.data.datasets import (PatchIterator, Prefetcher,
+                                    SyntheticImages,
+                                    host_bicubic_downsample, load_eval_set)
+
+
+def test_synthetic_images_deterministic():
+    a = SyntheticImages(4, 64, 64, seed=7)
+    b = SyntheticImages(4, 64, 64, seed=7)
+    np.testing.assert_array_equal(a.get(2), b.get(2))
+    assert a.get(0).dtype == np.uint8
+    assert a.get(0).shape == (64, 64, 3)
+    assert not np.array_equal(a.get(0), a.get(1))
+
+
+def test_patch_iterator_synthesized_lr_alignment():
+    src = SyntheticImages(2, 96, 96, seed=0)
+    it = PatchIterator(src, patch_size=8, scale=4, batch_size=3, seed=1)
+    lr, hr = next(it)
+    assert lr is None
+    assert hr.shape == (3, 32, 32, 3)
+    assert hr.dtype == np.uint8
+
+
+def test_normalize_roundtrip():
+    x = np.arange(256, dtype=np.uint8).reshape(1, 16, 16, 1)
+    x = np.repeat(x, 3, axis=-1)
+    back = np.asarray(denormalize_to_uint8(normalize_uint8(jnp.asarray(x))))
+    np.testing.assert_array_equal(back, x)
+
+
+def test_augment_applies_same_symmetry_to_lr_and_hr():
+    """pool2x2(augment(HR)) must equal augment(pool2x2(HR)): 2x2 mean
+    pooling commutes with every dihedral symmetry, so this holds iff the
+    SAME symmetry was applied to both resolutions."""
+    def pool(x):
+        b, h, w, c = x.shape
+        return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+    rng = np.random.default_rng(0)
+    hr = rng.integers(0, 255, (4, 8, 8, 3)).astype(np.float32)
+    lr = pool(hr)
+    for seed in range(5):
+        alr, ahr = augment_batch(jax.random.key(seed), jnp.asarray(lr),
+                                 jnp.asarray(hr))
+        np.testing.assert_allclose(np.asarray(alr),
+                                   pool(np.asarray(ahr)), rtol=1e-6)
+
+
+def test_augment_hits_multiple_symmetries():
+    x = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+    seen = set()
+    for seed in range(24):
+        a, _ = augment_batch(jax.random.key(seed), x, x)
+        seen.add(np.asarray(a).tobytes())
+    assert len(seen) >= 6  # most of the 8 dihedral elements observed
+
+
+def test_prepare_train_batch_synthetic_lr_shape():
+    hr = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (2, 32, 32, 3), dtype=np.uint8))
+    lr, hrf = prepare_train_batch(jax.random.key(0), hr, scale=4)
+    assert lr.shape == (2, 8, 8, 3)
+    assert hrf.shape == (2, 32, 32, 3)
+    assert float(jnp.max(jnp.abs(hrf))) <= 1.0
+    # LR must look like a downsample: mean preserved approximately
+    np.testing.assert_allclose(float(jnp.mean(lr)), float(jnp.mean(hrf)),
+                               atol=0.02)
+
+
+def test_host_bicubic_downsample_matches_device_op():
+    from pesr_tpu.ops import imresize
+    rng = np.random.default_rng(1)
+    hr = rng.integers(0, 255, (32, 24, 3), dtype=np.uint8)
+    host = host_bicubic_downsample(hr, 4).astype(np.float64)
+    dev = np.asarray(imresize(jnp.asarray(hr, jnp.float32), (8, 6)))
+    np.testing.assert_allclose(host, np.clip(np.round(dev), 0, 255),
+                               atol=1.0)
+
+
+def test_prefetcher_passthrough_and_close():
+    pf = Prefetcher(iter(range(10)), depth=2)
+    assert list(pf) == list(range(10))
+    pf2 = Prefetcher(iter(range(1000)), depth=2)
+    assert next(pf2) == 0
+    pf2.close()
+
+
+def test_load_eval_set_synthetic():
+    opts = Opts(test_dataset="synthetic", scale=4)
+    samples = load_eval_set(opts, max_images=2)
+    assert len(samples) == 2
+    s = samples[0]
+    assert s.hr.shape[0] == s.lr.shape[0] * 4
+    assert s.hr.dtype == np.uint8 and s.lr.dtype == np.uint8

@@ -1,0 +1,93 @@
+"""Tiled overlap-stitch inference tests (SURVEY.md §5.7; BASELINE.json:10).
+
+Key invariant: with a halo larger than the generator's receptive field,
+the tiled result equals the whole-image forward on the interior (the
+border band legitimately differs: tiling replicate-pads at the true
+image border while a whole-image SAME conv zero-pads)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pesr_tpu.data.augment import denormalize_to_uint8, normalize_uint8
+from pesr_tpu.models import Generator
+from pesr_tpu.ops.tiling import TiledUpscaler, _pad_replicate
+
+SCALE = 2
+# RF radius of num_blocks=2 generator: ~6 LR px < overlap 8.
+GEN = Generator(scale=SCALE, num_blocks=2, num_channels=8,
+                dtype=jnp.float32)
+
+
+def _gen_params():
+    return GEN.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+
+
+def test_pad_replicate_large_pads():
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    out = _pad_replicate(img, (5, 5, 3, 3))
+    assert out.shape == (12, 8, 3)
+    np.testing.assert_array_equal(out[0, 0], img[0, 0])
+    np.testing.assert_array_equal(out[-1, -1], img[-1, -1])
+
+
+def test_tiled_matches_whole_image_interior():
+    variables = _gen_params()
+    rng = np.random.default_rng(0)
+    lr_u8 = rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+
+    tiler = TiledUpscaler(GEN.apply, variables, SCALE, tile_size=16,
+                          overlap=8, batch_size=4)
+    tiled = tiler.upscale(lr_u8)
+
+    whole = np.asarray(denormalize_to_uint8(GEN.apply(
+        variables, normalize_uint8(jnp.asarray(lr_u8[None])))[0]))
+
+    assert tiled.shape == whole.shape == (80, 112, 3)
+    m = 8 * SCALE  # exclude the padding-convention border band
+    inner_t = tiled[m:-m, m:-m].astype(np.int16)
+    inner_w = whole[m:-m, m:-m].astype(np.int16)
+    # float32 everywhere -> at most off-by-one from uint8 rounding
+    assert np.max(np.abs(inner_t - inner_w)) <= 1
+    assert np.mean(inner_t != inner_w) < 0.01
+
+
+def test_tiled_handles_image_smaller_than_tile():
+    variables = _gen_params()
+    lr_u8 = np.random.default_rng(1).integers(0, 255, (11, 9, 3),
+                                              dtype=np.uint8)
+    tiler = TiledUpscaler(GEN.apply, variables, SCALE, tile_size=32,
+                          overlap=8, batch_size=2)
+    sr = tiler.upscale(lr_u8)
+    assert sr.shape == (22, 18, 3)
+
+
+def test_batch_tiled_matches_host_tiled():
+    """The device-resident pipeline must reproduce the host-stitching
+    pipeline exactly (same tiles, same cores, same padding)."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+
+    variables = _gen_params()
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (2, 30, 44, 3), dtype=np.uint8)
+
+    host = TiledUpscaler(GEN.apply, variables, SCALE, tile_size=16,
+                         overlap=8, batch_size=2)
+    dev = BatchTiledUpscaler(GEN.apply, variables, SCALE, tile_size=16,
+                             overlap=8)
+    got = dev.upscale_batch(imgs)
+    assert got.shape == (2, 60, 88, 3)
+    for i in range(2):
+        np.testing.assert_array_equal(got[i], host.upscale(imgs[i]))
+
+
+def test_upscale_many_matches_single():
+    variables = _gen_params()
+    rng = np.random.default_rng(2)
+    imgs = [rng.integers(0, 255, (24 + 8 * i, 20, 3), dtype=np.uint8)
+            for i in range(3)]
+    tiler = TiledUpscaler(GEN.apply, variables, SCALE, tile_size=16,
+                          overlap=8, batch_size=4)
+    many = tiler.upscale_many(imgs)
+    for img, sr in zip(imgs, many):
+        np.testing.assert_array_equal(sr, tiler.upscale(img))

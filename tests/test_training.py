@@ -1,0 +1,139 @@
+"""Training-step integration tests (SURVEY.md §4: "10-step L1 pretrain
+loss-decrease smoke test", "1-step GAN train step shape/grad-flow test",
+"distributed-without-a-cluster" DP equivalence)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pesr_tpu.config import Opts
+from pesr_tpu.models import VGG19Features
+from pesr_tpu.parallel import make_mesh, shard_batch, shard_pytree_replicated
+from pesr_tpu.training import (create_discriminator_state,
+                               create_generator_state, make_gan_step,
+                               make_pretrain_step)
+from pesr_tpu.training.loop import build_discriminator, build_generator
+from pesr_tpu.training.state import init_vgg_params
+
+TINY = Opts(num_blocks=2, num_channels=8, patch_size=12, batch_size=8,
+            compute_dtype="float32", steps_per_epoch=10,
+            alpha_vgg=1.0, alpha_tv=1e-6, alpha_gan=1.0)
+
+
+def _batch(opts, seed=0, n=None):
+    rng = np.random.default_rng(seed)
+    b = n or opts.batch_size
+    hr = rng.standard_normal(
+        (b, opts.hr_patch_size, opts.hr_patch_size, 3)).astype(np.float32)
+    hr = np.tanh(hr)
+    lr = hr[:, ::opts.scale, ::opts.scale]  # any aligned LR works here
+    return jnp.asarray(lr), jnp.asarray(hr)
+
+
+def test_pretrain_loss_decreases():
+    # Higher LR than production: the test overfits one fixed batch fast.
+    opts = dataclasses.replace(TINY, learning_rate=2e-3)
+    g_state = create_generator_state(opts, build_generator(opts),
+                                     jax.random.key(0))
+    step = make_pretrain_step(opts)
+    lr, hr = _batch(opts)
+    first = last = None
+    for _ in range(20):
+        g_state, m = step(g_state, lr, hr)
+        l1 = float(m["l1"])
+        first = first if first is not None else l1
+        last = l1
+    assert last < first * 0.7, (first, last)
+
+
+def test_gan_step_updates_both_nets_and_is_finite():
+    opts = TINY
+    gen, disc = build_generator(opts), build_discriminator(opts)
+    vgg = VGG19Features(layer="22", dtype=jnp.float32)
+    g_state = create_generator_state(opts, gen, jax.random.key(0))
+    d_state = create_discriminator_state(opts, disc, jax.random.key(1))
+    vgg_params = init_vgg_params(opts, vgg, jax.random.key(2))
+
+    step = make_gan_step(
+        opts,
+        d_apply=lambda p, x: disc.apply({"params": p}, x),
+        vgg_apply=lambda p, x: vgg.apply({"params": p}, x))
+
+    lr, hr = _batch(opts)
+    g0 = jax.device_get(g_state.params)
+    d0 = jax.device_get(d_state.params)
+    g_state, d_state, metrics = step(g_state, d_state, vgg_params, lr, hr,
+                                     jax.random.key(3))
+
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert {"d_loss", "g_loss", "g_gan", "tv", "vgg", "psnr"} <= set(metrics)
+
+    def _max_delta(a, b):
+        leaves_a = jax.tree_util.tree_leaves(a)
+        leaves_b = jax.tree_util.tree_leaves(b)
+        return max(float(np.max(np.abs(x - np.asarray(y))))
+                   for x, y in zip(leaves_a, leaves_b))
+
+    assert _max_delta(g0, jax.device_get(g_state.params)) > 0
+    assert _max_delta(d0, jax.device_get(d_state.params)) > 0
+
+
+def test_gan_step_with_gp_and_focal_runs():
+    opts = dataclasses.replace(TINY, use_gp=True, focal_loss=True,
+                               fl_gamma=1.0, gan_type="RaSGAN",
+                               alpha_vgg=0.0)
+    gen, disc = build_generator(opts), build_discriminator(opts)
+    g_state = create_generator_state(opts, gen, jax.random.key(0))
+    d_state = create_discriminator_state(opts, disc, jax.random.key(1))
+    step = make_gan_step(
+        opts, d_apply=lambda p, x: disc.apply({"params": p}, x),
+        vgg_apply=None)
+    lr, hr = _batch(opts)
+    _, _, metrics = step(g_state, d_state, None, lr, hr, jax.random.key(3))
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert "vgg" not in metrics
+
+
+def test_data_parallel_matches_single_device():
+    """The same global batch must produce (numerically) the same update
+    whether the mesh has 1 or 8 devices — grads are a global batch mean
+    either way.  This exercises the NamedSharding/psum path the real ICI
+    run uses (SURVEY.md §2.10)."""
+    opts = TINY
+    lr, hr = _batch(opts)
+
+    results = {}
+    for n in (1, 8):
+        mesh = make_mesh(n)
+        g_state = create_generator_state(opts, build_generator(opts),
+                                         jax.random.key(0))
+        g_state = shard_pytree_replicated(mesh, g_state)
+        b = shard_batch(mesh, {"lr": np.asarray(lr), "hr": np.asarray(hr)})
+        step = make_pretrain_step(opts)
+        g_state, metrics = step(g_state, b["lr"], b["hr"])
+        results[n] = (jax.device_get(g_state.params), float(metrics["l1"]))
+
+    np.testing.assert_allclose(results[1][1], results[8][1], rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(results[1][0])
+    flat8 = jax.tree_util.tree_leaves(results[8][0])
+    for a, b_ in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b_, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from pesr_tpu.training import checkpoint as ckpt
+    opts = TINY
+    g_state = create_generator_state(opts, build_generator(opts),
+                                     jax.random.key(0))
+    path = ckpt.save_train_ckpt(str(tmp_path / "exp"), 123, g_state)
+    assert path.endswith("step_123")
+    params, step = ckpt.restore_generator_params(str(tmp_path / "exp"))
+    assert step == 123
+    orig = jax.tree_util.tree_leaves(jax.device_get(g_state.params))
+    rest = jax.tree_util.tree_leaves(params)
+    for a, b in zip(orig, rest):
+        np.testing.assert_array_equal(a, b)
