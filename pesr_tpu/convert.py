@@ -1,0 +1,191 @@
+"""torch -> flax checkpoint conversion (SURVEY.md §7.3; BASELINE.json:5
+"matches the reference PyTorch checkpoints' outputs").
+
+No reference checkpoints exist on this machine (SURVEY.md §0), so the
+converter is built against the *structural* contract of an EDSR-style
+generator rather than the reference's (unverifiable) parameter names:
+PyTorch state_dicts preserve registration order, and for any EDSR-family
+module that order is
+
+    head conv, (block conv1, block conv2) x num_blocks, tail conv,
+    upsampler conv x num_stages, output conv
+
+so the converter maps tensors positionally, validating every shape
+against the target flax tree.  This works for arbitrary naming schemes
+(model.head.0.weight / head.weight / module.head...) as long as the
+architecture matches; a mismatch dies loudly with both shape lists.
+
+Layout conversions:
+  * conv kernels: torch OIHW -> flax HWIO (transpose (2, 3, 1, 0));
+  * the generator's per-block convs are stacked on a leading axis to
+    match the nn.scan'd body (models/generator.py);
+  * activations are NCHW in torch vs NHWC here — handled by kernel
+    transposition alone; PixelShuffle channel order is preserved by
+    pesr_tpu.ops.pixel_shuffle (see its docstring).
+
+VGG-19: torchvision's ``vgg19().features`` registers exactly 16 convs in
+trunk order, so the same positional mapping fills VGG19Features
+(conv1_1 ... conv5_4) from any torch VGG19 checkpoint the user provides
+(``--vgg_weights``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def _as_numpy(t: Any) -> np.ndarray:
+    """torch.Tensor | ndarray -> float32 ndarray without importing torch
+    at module scope (torch is an optional oracle dependency)."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def extract_conv_pairs(state_dict: Dict[str, Any]
+                       ) -> List[Tuple[str, np.ndarray, np.ndarray]]:
+    """Yield (name, OIHW weight, bias) for every 4-D conv entry, in
+    registration order.  Dense (2-D) weights are skipped here."""
+    pairs = []
+    for key, val in state_dict.items():
+        if not key.endswith("weight"):
+            continue
+        w = _as_numpy(val)
+        if w.ndim != 4:
+            continue
+        bkey = key[: -len("weight")] + "bias"
+        if bkey not in state_dict:
+            raise ValueError(f"conv {key} has no matching bias {bkey}")
+        pairs.append((key, w, _as_numpy(state_dict[bkey])))
+    return pairs
+
+
+def _oihw_to_hwio(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def convert_torch_generator(state_dict: Dict[str, Any], num_blocks: int,
+                            scale: int) -> Dict[str, Any]:
+    """Positionally map an EDSR-style torch state_dict onto the flax
+    Generator param tree (models/generator.py naming)."""
+    num_stages = {1: 0, 2: 1, 4: 2, 8: 3}[scale]
+    convs = extract_conv_pairs(state_dict)
+    expected = 1 + 2 * num_blocks + 1 + num_stages + 1
+    if len(convs) != expected:
+        raise ValueError(
+            f"expected {expected} convs (head + 2x{num_blocks} body + tail"
+            f" + {num_stages} upsample + out), found {len(convs)}: "
+            f"{[c[0] for c in convs]}")
+
+    i = 0
+
+    def take():
+        nonlocal i
+        name, w, b = convs[i]
+        i += 1
+        return _oihw_to_hwio(w), b
+
+    params: Dict[str, Any] = {}
+    hw, hb = take()
+    params["head"] = {"kernel": hw, "bias": hb}
+
+    c1k, c1b, c2k, c2b = [], [], [], []
+    for _ in range(num_blocks):
+        k1, b1 = take()
+        k2, b2 = take()
+        c1k.append(k1)
+        c1b.append(b1)
+        c2k.append(k2)
+        c2b.append(b2)
+    params["body"] = {"block": {
+        "conv1": {"kernel": np.stack(c1k), "bias": np.stack(c1b)},
+        "conv2": {"kernel": np.stack(c2k), "bias": np.stack(c2b)},
+    }}
+
+    tw, tb = take()
+    params["tail"] = {"kernel": tw, "bias": tb}
+
+    up = {}
+    for s in range(num_stages):
+        uw, ub = take()
+        up[f"conv{s}"] = {"kernel": uw, "bias": ub}
+    params["upsampler"] = up
+
+    ow, ob = take()
+    params["out"] = {"kernel": ow, "bias": ob}
+    return params
+
+
+_VGG19_LAYERS: Sequence[str] = (
+    "conv1_1", "conv1_2",
+    "conv2_1", "conv2_2",
+    "conv3_1", "conv3_2", "conv3_3", "conv3_4",
+    "conv4_1", "conv4_2", "conv4_3", "conv4_4",
+    "conv5_1", "conv5_2", "conv5_3", "conv5_4",
+)
+
+
+def convert_torch_vgg19(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Map a torch VGG19 checkpoint's 16 feature convs onto
+    VGG19Features params (models/vgg.py naming)."""
+    convs = extract_conv_pairs(state_dict)
+    # Classifier weights are 2-D and already skipped; some checkpoints
+    # prefix with "features." — order is what matters.
+    if len(convs) < len(_VGG19_LAYERS):
+        raise ValueError(
+            f"need {len(_VGG19_LAYERS)} convs for VGG19, found "
+            f"{len(convs)}")
+    params: Dict[str, Any] = {}
+    for name, (key, w, b) in zip(_VGG19_LAYERS, convs):
+        params[name] = {"kernel": _oihw_to_hwio(w), "bias": b}
+    return params
+
+
+def _tree_shapes(tree: Any) -> Dict[str, Tuple[int, ...]]:
+    import jax
+    return {jax.tree_util.keystr(k): tuple(np.shape(v)) for k, v in
+            jax.tree_util.tree_leaves_with_path(tree)}
+
+
+def validate_against_template(template: Any, converted: Any,
+                              what: str) -> None:
+    exp, got = _tree_shapes(template), _tree_shapes(converted)
+    bad = [f"  {k}: template {exp.get(k)} vs converted {got.get(k)}"
+           for k in sorted(exp.keys() | got.keys())
+           if exp.get(k) != got.get(k)]
+    if bad:
+        raise ValueError(f"converted {what} does not match the flax "
+                         f"template:\n" + "\n".join(bad[:12]))
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Any]:
+    """Load a .pth/.pt state_dict (handles common wrapper keys)."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    for key in ("state_dict", "model", "params", "generator"):
+        if isinstance(obj, dict) and key in obj and isinstance(
+                obj[key], dict):
+            obj = obj[key]
+    if not isinstance(obj, dict):
+        raise ValueError(f"{path} does not contain a state_dict")
+    return obj
+
+
+def load_vgg_weights(path: str, template: Any) -> Any:
+    """--vgg_weights entry point: torch VGG19 checkpoint -> flax params
+    validated against the initialized template tree."""
+    converted = convert_torch_vgg19(load_torch_state_dict(path))
+    validate_against_template(template, converted, "VGG19")
+    return converted
+
+
+def load_generator_weights(path: str, template: Any, num_blocks: int,
+                           scale: int) -> Any:
+    """Reference-checkpoint entry point: torch PESR/EDSR generator
+    checkpoint -> flax params validated against the template tree."""
+    converted = convert_torch_generator(load_torch_state_dict(path),
+                                        num_blocks, scale)
+    validate_against_template(template, converted, "generator")
+    return converted

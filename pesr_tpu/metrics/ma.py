@@ -1,0 +1,82 @@
+"""Ma et al. (2017) SR quality score — documented approximation
+(SURVEY.md §7 hard-parts item 3).
+
+The true Ma score is a LEARNED regressor (PCA features over DCT/wavelet
+statistics + trained regression forests) distributed only as MATLAB
+code + trained weights; neither is on this machine nor reproducible
+without the training corpus.  This module provides:
+
+  * ``ma_score(img, predictor=None)`` — uses a plugged-in predictor
+    when the user supplies one (any callable returning [0, 10]), else
+    the built-in approximation below;
+  * ``ma_score_approx`` — a fixed, documented approximation built from
+    the same statistic families the real regressor consumes (local
+    frequency-energy distribution and MSCN spread), mapped to [0, 10].
+    It tracks the real score's *ordering* (sharper, more natural SR
+    results score higher; over-smoothed or heavily artifacted results
+    score lower) but its absolute values are NOT the published Ma
+    numbers — PIRM-PI parity checks against reference outputs must
+    plug in the real regressor when its weights become available.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from pesr_tpu.metrics.niqe import _rgb2gray, compute_mscn
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    from scipy.fft import dctn
+    return dctn(block, norm="ortho")
+
+
+def ma_score_approx(img: np.ndarray, block: int = 32) -> float:
+    """Approximate Ma score in [0, 10] (higher = better perceived SR).
+
+    Statistics (per 32x32 block, averaged):
+      * high-frequency DCT energy ratio — super-resolved images that
+        recover texture keep substantial HF energy; blurry upscales
+        concentrate energy at DC/low frequencies;
+      * MSCN spread (variance) — natural sharp images have wider MSCN
+        distributions than over-smoothed ones.
+    The logistic mapping constants are fixed (not fitted to any
+    reference output) and documented here for reproducibility.
+    """
+    gray = _rgb2gray(img) / 255.0
+    h, w = gray.shape
+    nh, nw = h // block, w // block
+    if nh == 0 or nw == 0:
+        raise ValueError(f"image {gray.shape} smaller than block {block}")
+
+    hf_ratios = []
+    for i in range(nh):
+        for j in range(nw):
+            d = _dct2(gray[i * block:(i + 1) * block,
+                           j * block:(j + 1) * block])
+            energy = d * d
+            total = float(energy.sum()) + 1e-12
+            # "high frequency" = outside the lowest 8x8 corner.
+            low = float(energy[:8, :8].sum())
+            hf_ratios.append((total - low) / total)
+    hf = float(np.mean(hf_ratios))
+
+    mscn, _ = compute_mscn(gray * 255.0)
+    spread = float(np.var(mscn))
+
+    # Logistic maps: hf in [0,~0.5] and spread in [0,~1.5] for typical
+    # content; centered so bicubic upscales land mid-scale.
+    s_hf = 1.0 / (1.0 + np.exp(-(hf - 0.10) / 0.04))
+    s_sp = 1.0 / (1.0 + np.exp(-(spread - 0.55) / 0.15))
+    return float(10.0 * (0.6 * s_hf + 0.4 * s_sp))
+
+
+def ma_score(img: np.ndarray,
+             predictor: Optional[Callable[[np.ndarray], float]] = None
+             ) -> float:
+    """Ma score with pluggable real regressor."""
+    if predictor is not None:
+        return float(predictor(img))
+    return ma_score_approx(img)

@@ -1,0 +1,74 @@
+"""PIRM perceptual index: PI = 0.5*((10 - Ma) + NIQE) (SURVEY.md §2 item
+10, §3.5; BASELINE.json:2).
+
+The reference delegates this to the PIRM challenge's MATLAB scripts run
+offline over test.py's saved PNGs; this module is the Python equivalent
+with the same directory-level workflow:
+
+    python -m pesr_tpu.metrics.pirm --dir results/Set5
+
+Caveat inherited from metrics.ma: the Ma term is a documented
+approximation until real regressor weights are plugged in; NIQE is
+exact given a pristine model (metrics.niqe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+from pesr_tpu.metrics.ma import ma_score
+from pesr_tpu.metrics.niqe import NiqeModel, niqe
+
+
+def perceptual_index(img: np.ndarray,
+                     niqe_model: Optional[NiqeModel] = None,
+                     ma_predictor: Optional[Callable] = None) -> float:
+    """PI of one HWC uint8 image (lower = better perceived quality)."""
+    return 0.5 * ((10.0 - ma_score(img, ma_predictor))
+                  + niqe(img, niqe_model))
+
+
+def evaluate_dir(path: str, niqe_model: Optional[NiqeModel] = None,
+                 verbose: bool = True) -> dict:
+    """PIRM-style offline evaluation of a directory of SR PNGs."""
+    from pesr_tpu.utils.image_io import imread_uint8
+
+    files = sorted(f for f in os.listdir(path)
+                   if f.lower().endswith((".png", ".jpg", ".bmp")))
+    if not files:
+        raise FileNotFoundError(f"no images under {path}")
+    pis, niqes, mas = [], [], []
+    for f in files:
+        img = imread_uint8(os.path.join(path, f))
+        n = niqe(img, niqe_model)
+        m = ma_score(img)
+        pi = 0.5 * ((10.0 - m) + n)
+        pis.append(pi)
+        niqes.append(n)
+        mas.append(m)
+        if verbose:
+            print(f"{f}: PI {pi:.3f}  NIQE {n:.3f}  Ma~ {m:.3f}")
+    return {"pi": float(np.mean(pis)), "niqe": float(np.mean(niqes)),
+            "ma": float(np.mean(mas)), "n_images": len(files)}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dir", required=True,
+                   help="directory of SR images (test.py output)")
+    p.add_argument("--niqe_model", default="",
+                   help="optional .npz pristine model (metrics.niqe)")
+    args = p.parse_args(argv)
+    model = NiqeModel.load(args.niqe_model) if args.niqe_model else None
+    print(json.dumps(evaluate_dir(args.dir, model)))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

@@ -32,12 +32,22 @@ def main(argv=None) -> int:
     if opts.model_path:
         import jax
         import jax.numpy as jnp
-        params, step = ckpt.restore_generator_params(opts.model_path)
         expected = jax.eval_shape(
             lambda: gen.init(jax.random.key(0),
                              jnp.zeros((1, 8, 8, opts.img_channels))))
-        ckpt.validate_params_compat(expected["params"], params)
-        print(f"loaded generator at step {step} from {opts.model_path}")
+        if opts.model_path.endswith((".pt", ".pth")):
+            # Reference torch checkpoints load directly (SURVEY.md §5.4
+            # torch->JAX converter; BASELINE.json:5 output parity).
+            from pesr_tpu.convert import load_generator_weights
+            params = load_generator_weights(
+                opts.model_path, expected["params"], opts.num_blocks,
+                opts.scale)
+            print(f"converted torch generator from {opts.model_path}")
+        else:
+            params, step = ckpt.restore_generator_params(opts.model_path)
+            ckpt.validate_params_compat(expected["params"], params)
+            print(f"loaded generator at step {step} from "
+                  f"{opts.model_path}")
     else:
         # Random init — exercises the full pipeline when no checkpoint
         # exists yet (this environment ships none; SURVEY.md §7).
