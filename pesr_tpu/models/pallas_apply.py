@@ -1,0 +1,71 @@
+"""Generator inference path with the fused Pallas residual-block body
+(SURVEY.md §7.9; the ``--use_pallas`` flag surface).
+
+Consumes the SAME params pytree as models.Generator (so checkpoints,
+the torch converter, and the tiling engines are shared) but executes the
+32-block body as a ``lax.scan`` over pesr_tpu.ops.pallas.fused_resblock.
+Head/tail/upsampler convs stay on XLA (they are ~5% of FLOPs).
+
+Honest status (measured on v5e, 2026-08-16): XLA's conv lowering runs
+the body at ~141 TFLOP/s effective (71% of bf16 peak) and the fused
+kernel at ~53 TFLOP/s — the kernel's HBM-traffic savings don't pay
+because the body is compute-bound.  The Pallas path therefore stays
+OPT-IN (correctness-tested, perf-tracked) until the kernel beats XLA,
+e.g. via an int8 MXU variant.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from pesr_tpu.ops.pallas.resblock import fused_resblock
+from pesr_tpu.ops.pixel_shuffle import pixel_shuffle
+
+
+def _conv(x: jnp.ndarray, p: Any, dtype) -> jnp.ndarray:
+    """flax.linen.Conv-equivalent SAME conv + bias in compute dtype."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), p["kernel"].astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["bias"].astype(dtype)
+
+
+def make_pallas_apply(scale: int, res_scale: float = 0.1,
+                      dtype=jnp.bfloat16, tile=(40, 40),
+                      interpret: bool = False) -> Callable:
+    """Build ``apply(variables, x)`` interchangeable with
+    models.Generator.apply (same params tree, same I/O contract)."""
+    num_stages = {1: 0, 2: 1, 4: 2, 8: 3}[scale]
+
+    def apply(variables: Any, x: jnp.ndarray) -> jnp.ndarray:
+        p = variables["params"]
+        x = x.astype(dtype)
+        head = _conv(x, p["head"], dtype)
+
+        blk = p["body"]["block"]
+
+        def body_fn(carry, per_block):
+            w1, b1, w2, b2 = per_block
+            out = fused_resblock(carry, w1.astype(dtype), b1.astype(dtype),
+                                 w2.astype(dtype), b2.astype(dtype),
+                                 res_scale=res_scale, tile=tile,
+                                 interpret=interpret)
+            return out, None
+
+        y, _ = jax.lax.scan(
+            body_fn, head,
+            (blk["conv1"]["kernel"], blk["conv1"]["bias"],
+             blk["conv2"]["kernel"], blk["conv2"]["bias"]))
+
+        y = _conv(y, p["tail"], dtype) + head
+        for i in range(num_stages):
+            y = _conv(y, p["upsampler"][f"conv{i}"], dtype)
+            y = pixel_shuffle(y, 2)
+        out = _conv(y, p["out"], dtype)
+        return out.astype(jnp.float32)
+
+    return apply

@@ -1,0 +1,171 @@
+"""Fused residual-block kernel: conv3x3 + bias + ReLU + conv3x3 +
+scaled-residual-add in one VMEM-resident pass (SURVEY.md §3.4: the
+residual chain is ~95% of generator FLOPs; §7.9).
+
+Why fuse: under XLA each conv round-trips activations through HBM (read
+x, write y) — a 32-block body moves ~65 activation-sized buffers.  The
+fused kernel reads each spatial tile (plus a 2-pixel halo) once, runs
+BOTH convs and the residual math out of VMEM, and writes the tile once:
+~2x less HBM traffic per block.
+
+Conv strategy ("shift-accumulate"): a 3x3 conv is nine C->C matmuls —
+for each tap (dy, dx) the FULL input tile (flattened to [rows, C]) hits
+the MXU against W[dy, dx], and the [tile_h, tile_w, C] result is
+accumulated at spatial offset (dy, dx) on the VPU.  Large contiguous
+matmuls (MXU-optimal), no im2col gather.  The ~10% extra tap-FLOPs on
+the halo fringe are the price of alignment.
+
+Boundary semantics: SAME zero padding, identical to
+``flax.linen.Conv(padding="SAME")`` — the wrapper zero-pads by 2 and the
+parity test pins equality against the XLA reference.
+
+Forward-only: training keeps the XLA path (autodiff); inference/bench
+opt in via ``--use_pallas``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv3x3_shift_acc(x: jnp.ndarray, w: jnp.ndarray,
+                       b: jnp.ndarray) -> jnp.ndarray:
+    """Valid 3x3 conv of an (hin, win, C) tile via 9 full-tile matmuls.
+
+    Returns (hin-2, win-2, C) float32.  ``w`` is (3, 3, C, C) HWIO.
+    """
+    hin, win, c = x.shape
+    hout, wout = hin - 2, win - 2
+    xf = x.reshape(hin * win, c)
+    acc = jnp.zeros((hout, wout, c), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            y = jnp.dot(xf, w[dy, dx],
+                        preferred_element_type=jnp.float32)
+            y = y.reshape(hin, win, c)
+            acc = acc + y[dy:dy + hout, dx:dx + wout, :]
+    return acc + b.astype(jnp.float32)
+
+
+def _resblock_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                     res_scale: float, compute_dtype, img_h: int,
+                     img_w: int, nh: int, nw: int):
+    """One grid step = one output tile.  x_ref block: (1, TH+4, TW+4, C);
+    o_ref block: (1, TH, TW, C)."""
+    x = x_ref[0].astype(compute_dtype)
+    th = o_ref.shape[1]
+    tw = o_ref.shape[2]
+
+    y1 = _conv3x3_shift_acc(x, w1_ref[...], b1_ref[...])      # (TH+2,TW+2,C)
+    y1 = jnp.maximum(y1, 0.0)
+
+    # SAME-conv chain semantics: the reference zero-pads conv2's INPUT at
+    # the image border, but y1's halo ring computed from zero-padded x is
+    # relu(bias + partial sums) != 0 there — mask the out-of-image ring.
+    k = pl.program_id(0)
+    i = (k // nw) % nh
+    j = k % nw
+    gy = i * th - 1 + jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+    gx = j * tw - 1 + jax.lax.broadcasted_iota(jnp.int32, (1, tw + 2, 1), 1)
+    inside = (gy >= 0) & (gy < img_h) & (gx >= 0) & (gx < img_w)
+    y1 = jnp.where(inside, y1, 0.0).astype(compute_dtype)
+
+    y2 = _conv3x3_shift_acc(y1, w2_ref[...], b2_ref[...])     # (TH,TW,C)
+
+    core = x[2:2 + th, 2:2 + tw, :].astype(jnp.float32)
+    out = core + jnp.float32(res_scale) * y2
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("res_scale", "tile",
+                                             "interpret"))
+def fused_resblock(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+                   w2: jnp.ndarray, b2: jnp.ndarray,
+                   res_scale: float = 0.1,
+                   tile: Tuple[int, int] = (40, 40),
+                   interpret: bool = False) -> jnp.ndarray:
+    """x [B,H,W,C] (+ HWIO conv weights) -> x + res_scale*conv2(relu(conv1(x))).
+
+    The input is zero-padded by 2 (two SAME convs) and to tile multiples;
+    overlapping halo windows are expressed by pre-tiling the padded
+    activation into [B*nh*nw, TH+4, TW+4, C] (an HBM gather XLA fuses
+    with the pad) so the grid pipeline double-buffers tiles automatically.
+    """
+    b, h, w, c = x.shape
+    th, tw = tile
+    nh, nw = -(-h // th), -(-w // tw)
+    compute_dtype = x.dtype if x.dtype != jnp.float64 else jnp.float32
+
+    xp = jnp.pad(x, ((0, 0), (2, nh * th - h + 2), (2, nw * tw - w + 2),
+                     (0, 0)))
+
+    # Overlapping halo windows: [B, nh, nw, TH+4, TW+4, C].
+    i_idx = jnp.arange(nh) * th
+    j_idx = jnp.arange(nw) * tw
+    win_h = jax.vmap(
+        lambda i: jax.lax.dynamic_slice_in_dim(xp, i, th + 4, axis=1)
+    )(i_idx)                                    # [nh, B, TH+4, Wp, C]
+    tiles = jax.vmap(
+        lambda j: jax.lax.dynamic_slice_in_dim(win_h, j, tw + 4, axis=3)
+    )(j_idx)                                    # [nw, nh, B, TH+4, TW+4, C]
+    tiles = tiles.transpose(2, 1, 0, 3, 4, 5).reshape(
+        b * nh * nw, th + 4, tw + 4, c)
+
+    wdt = compute_dtype
+    kernel = functools.partial(_resblock_kernel, res_scale=res_scale,
+                               compute_dtype=wdt, img_h=h, img_w=w,
+                               nh=nh, nw=nw)
+    out_tiles = pl.pallas_call(
+        kernel,
+        grid=(b * nh * nw,),
+        in_specs=[
+            pl.BlockSpec((1, th + 4, tw + 4, c), lambda k: (k, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c, c), lambda k: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda k: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c, c), lambda k: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda k: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, tw, c), lambda k: (k, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * nh * nw, th, tw, c), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 9 * c * c * (th + 2) * (tw + 2),
+            bytes_accessed=(th + 4) * (tw + 4) * c * 2 * 2,
+            transcendentals=0,
+        ),
+    )(tiles, w1.astype(wdt), b1.astype(wdt), w2.astype(wdt),
+      b2.astype(wdt))
+
+    out = out_tiles.reshape(b, nh, nw, th, tw, c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, nh * th, nw * tw, c)
+    return out[:, :h, :w, :]
+
+
+def resblock_reference(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+                       w2: jnp.ndarray, b2: jnp.ndarray,
+                       res_scale: float = 0.1) -> jnp.ndarray:
+    """XLA-semantics reference: the exact math models/generator.ResBlock
+    performs (SAME convs, ReLU between, scaled residual)."""
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(x, w1.astype(x.dtype), (1, 1), "SAME",
+                                     dimension_numbers=dn)
+    y = y + b1.astype(y.dtype)
+    y = jnp.maximum(y, 0)
+    y = jax.lax.conv_general_dilated(y, w2.astype(y.dtype), (1, 1), "SAME",
+                                     dimension_numbers=dn)
+    y = y + b2.astype(y.dtype)
+    return x + jnp.asarray(res_scale, x.dtype) * y

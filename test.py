@@ -60,7 +60,13 @@ def main(argv=None) -> int:
               "generator")
 
     samples = load_eval_set(opts)
-    tiler = TiledUpscaler(gen.apply, {"params": params}, opts.scale,
+    if opts.use_pallas:
+        from pesr_tpu.models.pallas_apply import make_pallas_apply
+        apply_fn = make_pallas_apply(opts.scale, opts.res_scale)
+        print("using fused Pallas residual-block body")
+    else:
+        apply_fn = gen.apply
+    tiler = TiledUpscaler(apply_fn, {"params": params}, opts.scale,
                           opts.tile_size, opts.tile_overlap,
                           opts.infer_batch)
     tiler.warmup()

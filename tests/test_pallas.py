@@ -1,0 +1,89 @@
+"""Pallas kernel numerics-parity tests (SURVEY.md §4 unit tier: "Pallas
+conv vs lax.conv").  On the CPU test mesh kernels run in interpreter
+mode; the same parity asserts run compiled on real TPU via bench/verify.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pesr_tpu.ops.pallas import fused_resblock, resblock_reference
+
+
+def _make(c=8, b=2, h=20, w=24, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, dtype)
+    b1 = jnp.asarray(rng.standard_normal((c,)) * 0.1, dtype)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, dtype)
+    b2 = jnp.asarray(rng.standard_normal((c,)) * 0.1, dtype)
+    return x, w1, b1, w2, b2
+
+
+def test_fused_resblock_matches_reference_exact_tiles():
+    x, w1, b1, w2, b2 = _make(h=16, w=16)
+    got = fused_resblock(x, w1, b1, w2, b2, res_scale=0.1, tile=(8, 8),
+                         interpret=True)
+    ref = resblock_reference(x, w1, b1, w2, b2, res_scale=0.1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_fused_resblock_ragged_tiles_and_edges():
+    """Image size not divisible by the tile: the zero-pad fringe must not
+    leak into real pixels, and SAME boundary semantics must hold."""
+    x, w1, b1, w2, b2 = _make(h=19, w=23)
+    got = fused_resblock(x, w1, b1, w2, b2, res_scale=0.3, tile=(8, 8),
+                         interpret=True)
+    ref = resblock_reference(x, w1, b1, w2, b2, res_scale=0.3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_fused_resblock_single_tile_covers_image():
+    x, w1, b1, w2, b2 = _make(h=10, w=12)
+    got = fused_resblock(x, w1, b1, w2, b2, tile=(16, 16), interpret=True)
+    ref = resblock_reference(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_pallas_apply_matches_generator_apply():
+    """The full --use_pallas inference path must reproduce
+    models.Generator.apply on the same params tree."""
+    from pesr_tpu.models import Generator
+    from pesr_tpu.models.pallas_apply import make_pallas_apply
+
+    gen = Generator(scale=2, num_blocks=3, num_channels=8,
+                    dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (1, 14, 18, 3)), jnp.float32)
+    variables = gen.init(jax.random.key(0), x)
+
+    ref = gen.apply(variables, x)
+    pal = make_pallas_apply(scale=2, res_scale=0.1, dtype=jnp.float32,
+                            tile=(8, 8), interpret=True)(variables, x)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                               atol=3e-5)
+
+
+def test_fused_resblock_chain_matches_generator_body():
+    """Scanning the kernel over stacked per-block weights must equal the
+    XLA reference chained the same way (the generator-body use case)."""
+    c, nblocks = 8, 3
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 12, 12, c)), jnp.float32)
+    stk = lambda *shape: jnp.asarray(  # noqa: E731
+        rng.standard_normal((nblocks,) + shape) * 0.1, jnp.float32)
+    w1s, b1s = stk(3, 3, c, c), stk(c)
+    w2s, b2s = stk(3, 3, c, c), stk(c)
+
+    y_kernel = x
+    y_ref = x
+    for i in range(nblocks):
+        y_kernel = fused_resblock(y_kernel, w1s[i], b1s[i], w2s[i], b2s[i],
+                                  tile=(8, 8), interpret=True)
+        y_ref = resblock_reference(y_ref, w1s[i], b1s[i], w2s[i], b2s[i])
+    np.testing.assert_allclose(np.asarray(y_kernel), np.asarray(y_ref),
+                               atol=3e-5)
