@@ -77,6 +77,10 @@ class Opts:
     snapshot_every: int = 10      # epochs between checkpoint snapshots
     log_every: int = 50           # steps between scalar log lines
     eval_every: int = 1           # epochs between self-validation evals
+    resume: bool = False          # resume full G/D/optimizer state from
+                                  # the latest step under check_point
+    profile_dir: str = ""         # jax.profiler trace dir (traces a few
+                                  # steady-state steps; SURVEY.md §5.1)
 
     # --- inference (SURVEY.md §3.3, §5.7; BASELINE.json:10) ---
     model_path: str = ""
@@ -181,6 +185,9 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
         g.add_argument("--snapshot_every", type=int, default=d.snapshot_every)
         g.add_argument("--log_every", type=int, default=d.log_every)
         g.add_argument("--eval_every", type=int, default=d.eval_every)
+        _add_bool_flag(g, "resume", d.resume,
+                       "resume G/D/optimizer state from check_point")
+        g.add_argument("--profile_dir", type=str, default=d.profile_dir)
     else:
         g = p.add_argument_group("inference")
         g.add_argument("--model_path", type=str, default=d.model_path)

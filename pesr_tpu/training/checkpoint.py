@@ -41,19 +41,47 @@ def latest_step_dir(ckpt_dir: str) -> Optional[str]:
 
 def save_train_ckpt(ckpt_dir: str, step: int, g_state: Any,
                     d_state: Any = None) -> str:
-    """Write one step directory: {g: {params, opt_state}, d: ..., step}."""
+    """Write one step directory: {g: <state dict>, d: <state dict>, step}.
+
+    States are serialized via ``flax.serialization.to_state_dict`` (pure
+    nested dicts) so restore can rebuild the exact optax pytree types by
+    deserializing onto a freshly-constructed template state — full
+    optimizer-state resume, not just params (SURVEY.md §5.4)."""
+    from flax import serialization
+
     path = os.path.join(_to_abs(ckpt_dir), f"step_{step}")
     payload = {
         "step": np.asarray(step),
-        "g": {"params": jax.device_get(g_state.params),
-              "opt_state": jax.device_get(g_state.opt_state)},
+        "g": jax.device_get(serialization.to_state_dict(g_state)),
     }
     if d_state is not None:
-        payload["d"] = {"params": jax.device_get(d_state.params),
-                        "opt_state": jax.device_get(d_state.opt_state)}
+        payload["d"] = jax.device_get(
+            serialization.to_state_dict(d_state))
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
     return path
+
+
+def restore_train_state(path: str, g_template: Any,
+                        d_template: Any = None):
+    """Restore full train states onto template TrainStates.
+
+    Returns ``(g_state, d_state_or_None, step)``.  Raises KeyError with
+    a clear message when a discriminator state is requested but the
+    checkpoint predates the GAN phase."""
+    from flax import serialization
+
+    payload = restore_payload(path)
+    g_state = serialization.from_state_dict(g_template, payload["g"])
+    d_state = None
+    if d_template is not None:
+        if "d" not in payload:
+            raise KeyError(
+                "checkpoint has no discriminator state (it was saved "
+                "during pretraining) — start the GAN phase with "
+                "--pretrained_model instead of --resume")
+        d_state = serialization.from_state_dict(d_template, payload["d"])
+    return g_state, d_state, int(payload["step"])
 
 
 def _resolve(path: str) -> str:

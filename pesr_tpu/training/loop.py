@@ -109,6 +109,17 @@ def run_training(opts: Opts) -> Dict[str, float]:
     else:
         step_fn = steps_lib.make_pretrain_step(opts)
 
+    start_step = 0
+    if opts.resume:
+        g_state, d_state_r, start_step = ckpt.restore_train_state(
+            opts.check_point, g_state, d_state)
+        if d_state_r is not None:
+            d_state = d_state_r
+        g_state = shard_pytree_replicated(mesh, g_state)
+        if d_state is not None:
+            d_state = shard_pytree_replicated(mesh, d_state)
+        print(f"resumed from {opts.check_point} at step {start_step}")
+
     train_iter, lr_from_files = datasets.make_train_iterator(opts)
     prep = jax.jit(functools.partial(augment.prepare_train_batch,
                                      scale=opts.scale))
@@ -117,12 +128,20 @@ def run_training(opts: Opts) -> Dict[str, float]:
     # Metrics stay as device arrays between log points — materializing
     # them per-step would force a host sync and stall the TPU pipeline.
     pending: list = []
-    global_step = 0
+    global_step = start_step
     t_start = time.time()
+    t_window = time.time()
     summary: Dict[str, float] = {}
+    start_epoch = start_step // max(opts.steps_per_epoch, 1)
 
-    for epoch in range(opts.num_epochs):
+    # Profiling hook (SURVEY.md §5.1): trace a few steady-state steps.
+    profile_at = {5, 6, 7, 8, 9} if opts.profile_dir else set()
+
+    for epoch in range(start_epoch, opts.num_epochs):
         for _ in range(opts.steps_per_epoch):
+            if global_step - start_step in profile_at:
+                if global_step - start_step == min(profile_at):
+                    jax.profiler.start_trace(opts.profile_dir)
             lr_u8, hr_u8 = next(train_iter)
             batch = shard_batch(
                 mesh, {"hr": hr_u8} if lr_u8 is None
@@ -139,11 +158,24 @@ def run_training(opts: Opts) -> Dict[str, float]:
                 g_state, metrics = step_fn(g_state, lr_img, hr_img)
 
             global_step += 1
+            if (global_step - start_step - 1 in profile_at
+                    and global_step - start_step - 1 == max(profile_at)):
+                jax.tree_util.tree_map(
+                    lambda a: a.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                print(f"[profile] trace written to {opts.profile_dir}")
             pending.append(metrics)
             if global_step % opts.log_every == 0:
                 avg = {k: float(np.mean([np.asarray(m[k])
                                          for m in pending]))
                        for k in pending[0]}
+                now = time.time()
+                window = max(now - t_window, 1e-9)
+                t_window = now
+                avg["steps_per_s"] = len(pending) / window
+                avg["mpx_per_s"] = (len(pending) * opts.batch_size
+                                    * opts.hr_patch_size ** 2
+                                    / window / 1e6)
                 logger.log(global_step, avg, prefix=opts.phase)
                 pending.clear()
 

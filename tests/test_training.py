@@ -124,6 +124,40 @@ def test_data_parallel_matches_single_device():
         np.testing.assert_allclose(a, b_, atol=1e-5)
 
 
+def test_restore_train_state_full_roundtrip(tmp_path):
+    """Resume restores params AND optimizer state onto fresh templates
+    (SURVEY.md §5.4)."""
+    from pesr_tpu.training import checkpoint as ckpt
+    opts = TINY
+    g = create_generator_state(opts, build_generator(opts),
+                               jax.random.key(0))
+    d = create_discriminator_state(opts, build_discriminator(opts),
+                                   jax.random.key(1))
+    # advance G one step so opt_state is non-trivial
+    step = make_pretrain_step(opts)
+    lr, hr = _batch(opts)
+    g, _ = step(g, lr, hr)
+
+    ckpt.save_train_ckpt(str(tmp_path / "exp"), 7, g, d)
+
+    g_t = create_generator_state(opts, build_generator(opts),
+                                 jax.random.key(2))
+    d_t = create_discriminator_state(opts, build_discriminator(opts),
+                                     jax.random.key(3))
+    g_r, d_r, at = ckpt.restore_train_state(str(tmp_path / "exp"), g_t, d_t)
+    assert at == 7
+    for a, b in zip(jax.tree_util.tree_leaves(
+            jax.device_get((g.params, g.opt_state, d.params))),
+            jax.tree_util.tree_leaves(
+                jax.device_get((g_r.params, g_r.opt_state, d_r.params)))):
+        np.testing.assert_array_equal(a, b)
+
+    # pretrain-only checkpoint + GAN-resume request -> clear error
+    ckpt.save_train_ckpt(str(tmp_path / "exp2"), 3, g)
+    with pytest.raises(KeyError, match="no discriminator"):
+        ckpt.restore_train_state(str(tmp_path / "exp2"), g_t, d_t)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from pesr_tpu.training import checkpoint as ckpt
     opts = TINY
