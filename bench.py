@@ -30,6 +30,13 @@ import numpy as np
 
 
 def main() -> int:
+    # Dev-harness TPU is single-tenant behind a relay; wait for the lease
+    # instead of dying if another process just released it.
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    from tpu_lease import acquire_tpu
+    acquire_tpu()
+
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +56,7 @@ def main() -> int:
     blocks = int(os.environ.get("BENCH_BLOCKS", "32"))
     channels = int(os.environ.get("BENCH_CHANNELS", "256"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    quant = os.environ.get("BENCH_QUANT", "none")  # none | int8
     scale = 4
 
     dev = jax.devices()[0]
@@ -58,12 +66,19 @@ def main() -> int:
     gen = Generator(scale=scale, num_blocks=blocks, num_channels=channels)
     variables = jax.jit(gen.init)(jax.random.key(0),
                                   jnp.zeros((1, 16, 16, 3)))
+    apply_fn = gen.apply
+    if quant == "int8":
+        from pesr_tpu.models.quant_apply import (make_int8_apply,
+                                                 quantize_generator_params)
+        variables = {"params": quantize_generator_params(
+            variables["params"])}
+        apply_fn = make_int8_apply(scale)
 
     # DIV2K-val-like LR inputs (510x336 -> 2040x1344 HR output).
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 255, (n_images, 510, 336, 3), dtype=np.uint8)
 
-    tiler = BatchTiledUpscaler(gen.apply, variables, scale, tile, overlap)
+    tiler = BatchTiledUpscaler(apply_fn, variables, scale, tile, overlap)
 
     def once() -> float:
         t0 = time.perf_counter()
@@ -78,8 +93,11 @@ def main() -> int:
     mps = out_mp / elapsed
     print(f"[bench] {out_mp:.1f} MP in {elapsed:.3f}s", file=sys.stderr)
 
+    metric = "tiled_x4_inference_throughput"
+    if quant != "none":
+        metric += f"_{quant}"
     print(json.dumps({
-        "metric": "tiled_x4_inference_throughput",
+        "metric": metric,
         "value": round(mps, 3),
         "unit": "MP/s/chip",
         "vs_baseline": round(mps / 50.0, 4),

@@ -26,3 +26,8 @@ data parallelism is expressed with `jax.sharding.NamedSharding` over a
 """
 
 __version__ = "0.1.0"
+
+# Public convenience API (heavier submodules import lazily at call sites).
+from pesr_tpu.config import Opts, build_parser, opts_from_args  # noqa: E402
+
+__all__ = ["Opts", "build_parser", "opts_from_args", "__version__"]

@@ -93,6 +93,7 @@ class Opts:
     compute_dtype: str = "bfloat16"   # activations/conv compute dtype
     param_dtype: str = "float32"
     use_pallas: bool = False          # fused Pallas kernels (XLA fallback)
+    quant: str = "none"               # none | int8 (PTQ inference path)
     mesh_shape: str = ""              # e.g. "8" or "" = all local devices
     vgg_weights: str = ""             # converted VGG19 weights (see convert.py)
 
@@ -201,6 +202,9 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     g.add_argument("--param_dtype", type=str, default=d.param_dtype)
     _add_bool_flag(g, "use_pallas", d.use_pallas, "use fused Pallas kernels")
+    g.add_argument("--quant", type=str, default=d.quant,
+                   choices=["none", "int8"],
+                   help="post-training-quantized inference path")
     g.add_argument("--mesh_shape", type=str, default=d.mesh_shape)
     g.add_argument("--vgg_weights", type=str, default=d.vgg_weights)
     return p

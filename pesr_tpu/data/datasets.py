@@ -35,6 +35,20 @@ from pesr_tpu.utils.image_io import imread_uint8
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
 
 
+def _decode(path: str) -> np.ndarray:
+    """Image decode: native libpng core when built (GIL-light, used by
+    the loader threads — SURVEY.md §1 DataLoader-worker equivalent),
+    PIL otherwise or for non-PNG formats."""
+    if path.lower().endswith(".png"):
+        try:
+            from pesr_tpu.data import native
+            if native.available():
+                return native.decode_png(path)
+        except (ImportError, IOError):
+            pass
+    return imread_uint8(path)
+
+
 # --------------------------------------------------------------------------
 # Sources
 # --------------------------------------------------------------------------
@@ -117,9 +131,9 @@ class PairedImageFolder:
 
     def _read(self, path: str) -> np.ndarray:
         if not self._cache_enabled:
-            return imread_uint8(path)
+            return _decode(path)
         if path not in self._cache:
-            self._cache[path] = imread_uint8(path)
+            self._cache[path] = _decode(path)
         return self._cache[path]
 
     def get_hr(self, idx: int) -> np.ndarray:
@@ -270,16 +284,39 @@ def _resolve_train_source(opts) -> object:
         f"procedural corpus)")
 
 
+# RAM budget for fully materializing a corpus for the native sampler
+# (DIV2K train HR is ~6.6 GB decoded; hosts here have plenty).
+_NATIVE_CACHE_BYTES = 12 << 30
+
+
 def make_train_iterator(opts) -> Tuple[Iterator, bool]:
     """Build the prefetched train-batch iterator.
 
     Returns ``(iterator, lr_from_files)``; when ``lr_from_files`` is
     False batches carry ``lr=None`` and the on-device stage synthesizes
     LR (augment.prepare_train_batch).
+
+    HR-crop mode prefers the native multithreaded sampler (data.native)
+    when the shared library builds and the decoded corpus fits RAM;
+    otherwise (and always in LR-file mode) the Python PatchIterator runs
+    behind a prefetch thread.
     """
     src = _resolve_train_source(opts)
     it = PatchIterator(src, opts.patch_size, opts.scale, opts.batch_size,
                        seed=opts.seed)
+    if not it.use_lr_files:
+        try:
+            from pesr_tpu.data import native
+            if native.available():
+                images = [src.get_hr(i) if hasattr(src, "get_hr")
+                          else src.get(i) for i in range(len(src))]
+                if sum(im.nbytes for im in images) <= _NATIVE_CACHE_BYTES:
+                    sampler = native.NativePatchSampler(
+                        images, opts.hr_patch_size, opts.batch_size,
+                        seed=opts.seed)
+                    return Prefetcher(sampler), False
+        except (ImportError, ValueError):
+            pass
     return Prefetcher(it), bool(it.use_lr_files)
 
 

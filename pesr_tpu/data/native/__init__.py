@@ -1,0 +1,127 @@
+"""ctypes binding + lazy build of the native data-loader core
+(sampler.cpp).  Falls back cleanly: every entry point returns None /
+raises ImportError when the shared library can't be built, and the
+Python pipeline (pesr_tpu.data.datasets) is used instead.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "sampler.cpp")
+_SO = os.path.join(_DIR, "libpesr_data.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+           "-lpng", "-pthread", "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return ctypes.CDLL(_SO)
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Build-on-demand loader; None when native support is unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= \
+                os.path.getmtime(_SRC):
+            _lib = ctypes.CDLL(_SO)
+        else:
+            _lib = _build()
+        if _lib is None:
+            _build_failed = True
+            return None
+        _lib.pesr_png_probe.restype = ctypes.c_int
+        _lib.pesr_png_decode.restype = ctypes.c_int
+        _lib.pesr_sample_patches.restype = None
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def decode_png(path: str) -> np.ndarray:
+    """GIL-light PNG decode -> HWC uint8 RGB (raises on failure)."""
+    lib = get_lib()
+    if lib is None:
+        raise ImportError("native data library unavailable")
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    p = path.encode()
+    if lib.pesr_png_probe(p, ctypes.byref(h), ctypes.byref(w)):
+        raise IOError(f"cannot read PNG header: {path}")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.pesr_png_decode(
+        p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        h.value, w.value)
+    if rc:
+        raise IOError(f"PNG decode failed ({rc}): {path}")
+    return out
+
+
+class NativePatchSampler:
+    """Multithreaded aligned-HR-crop batches from a cached image list.
+
+    Deterministic in (seed, step); mirrors PatchIterator's HR-crop mode
+    (LR is synthesized on device by data.augment.prepare_train_batch).
+    """
+
+    def __init__(self, images: List[np.ndarray], patch_hr: int,
+                 batch: int, seed: int, threads: int = 0) -> None:
+        lib = get_lib()
+        if lib is None:
+            raise ImportError("native data library unavailable")
+        self._lib = lib
+        self._imgs = [np.ascontiguousarray(im) for im in images]
+        for im in self._imgs:
+            if im.dtype != np.uint8 or im.ndim != 3 or im.shape[2] != 3:
+                raise ValueError("images must be HWC uint8 RGB")
+            if im.shape[0] < patch_hr or im.shape[1] < patch_hr:
+                raise ValueError("image smaller than patch")
+        n = len(self._imgs)
+        self._ptrs = (ctypes.POINTER(ctypes.c_ubyte) * n)(
+            *[im.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+              for im in self._imgs])
+        self._hs = (ctypes.c_int * n)(*[im.shape[0] for im in self._imgs])
+        self._ws = (ctypes.c_int * n)(*[im.shape[1] for im in self._imgs])
+        self.patch, self.batch, self.seed = patch_hr, batch, seed
+        self.threads = threads or min(8, os.cpu_count() or 1)
+        self._step = 0
+
+    def sample(self, step: Optional[int] = None) -> np.ndarray:
+        if step is None:
+            step = self._step
+            self._step += 1
+        out = np.empty((self.batch, self.patch, self.patch, 3), np.uint8)
+        self._lib.pesr_sample_patches(
+            self._ptrs, self._hs, self._ws, len(self._imgs),
+            self.batch, self.patch,
+            ctypes.c_uint64(self.seed), ctypes.c_uint64(step),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            self.threads)
+        return out
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Tuple[None, np.ndarray]:
+        return None, self.sample()

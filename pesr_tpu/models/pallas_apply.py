@@ -35,7 +35,7 @@ def _conv(x: jnp.ndarray, p: Any, dtype) -> jnp.ndarray:
 
 
 def make_pallas_apply(scale: int, res_scale: float = 0.1,
-                      dtype=jnp.bfloat16, tile=(40, 40),
+                      dtype=jnp.bfloat16, tile=(36, 36),
                       interpret: bool = False) -> Callable:
     """Build ``apply(variables, x)`` interchangeable with
     models.Generator.apply (same params tree, same I/O contract)."""

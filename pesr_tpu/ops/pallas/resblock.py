@@ -92,7 +92,7 @@ def _ceil_to(v: int, m: int) -> int:
 def fused_resblock(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
                    w2: jnp.ndarray, b2: jnp.ndarray,
                    res_scale: float = 0.1,
-                   tile: Tuple[int, int] = (40, 40),
+                   tile: Tuple[int, int] = (36, 36),
                    interpret: bool = False) -> jnp.ndarray:
     """x [B,H,W,C] (+ HWIO conv weights) -> x + res_scale*conv2(relu(conv1(x))).
 

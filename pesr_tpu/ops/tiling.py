@@ -53,12 +53,16 @@ class BatchTiledUpscaler:
         self._apply_fn = apply_fn
         self._compiled = {}
 
+    def update_variables(self, variables) -> None:
+        """Swap model params without recompiling (same shapes/dtypes)."""
+        self._variables = variables
+
     def _build(self, b: int, h: int, w: int):
         t, ov, s = self.tile, self.ov, self.scale
         nh, nw = math.ceil(h / t), math.ceil(w / t)
-        apply_fn, variables = self._apply_fn, self._variables
+        apply_fn = self._apply_fn
 
-        def run(padded_u8: jnp.ndarray) -> jnp.ndarray:
+        def run(variables, padded_u8: jnp.ndarray) -> jnp.ndarray:
             x = normalize_uint8(padded_u8)
             canvas = jnp.zeros((b, nh * t * s, nw * t * s, 3), jnp.uint8)
 
@@ -90,7 +94,7 @@ class BatchTiledUpscaler:
         padded = np.stack([
             _pad_replicate(img, (ov, nh * t - h + ov, ov, nw * t - w + ov))
             for img in imgs_u8])
-        return run(jnp.asarray(padded))
+        return run(self._variables, jnp.asarray(padded))
 
     def upscale_batch(self, imgs_u8: np.ndarray) -> np.ndarray:
         """Host-side convenience: returns [B, H*s, W*s, 3] uint8."""
@@ -135,7 +139,10 @@ class TiledUpscaler:
 
         t_in = tile_size + 2 * overlap
 
-        def forward(tiles_u8: jnp.ndarray) -> jnp.ndarray:
+        # Variables are a jit ARGUMENT (not baked into the closure) so
+        # swapping params — e.g. per-eval during training — reuses the
+        # compiled program instead of retracing.
+        def forward(variables, tiles_u8: jnp.ndarray) -> jnp.ndarray:
             x = normalize_uint8(tiles_u8)
             sr = apply_fn(variables, x)
             # Crop halo cores on device: less D2H traffic, static slice.
@@ -143,8 +150,14 @@ class TiledUpscaler:
             hi = lo + tile_size * scale
             return denormalize_to_uint8(sr[:, lo:hi, lo:hi, :])
 
-        self._forward = jax.jit(forward)
+        self._jit_forward = jax.jit(forward)
+        self._forward = lambda tiles: self._jit_forward(
+            self._variables, tiles)
         self._in_shape = (batch_size, t_in, t_in, 3)
+
+    def update_variables(self, variables) -> None:
+        """Swap model params without recompiling (same shapes/dtypes)."""
+        self._variables = variables
 
     def warmup(self) -> None:
         """Compile the fixed-shape forward ahead of timing loops."""

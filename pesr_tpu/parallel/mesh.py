@@ -56,10 +56,19 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 
     Requires axis 0 of every leaf to be divisible by the mesh size (the
     data pipeline pads batches to the global batch size).
+
+    Multi-host (DCN) support: when the mesh spans processes, each host
+    passes its *local* shard of the global batch and the global array is
+    assembled with ``jax.make_array_from_process_local_data`` — the
+    SURVEY.md §2.11 "per-host data sharding" contract.  Single-host
+    meshes take the plain ``device_put`` path.
     """
     sh = batch_sharding(mesh)
+    multihost = jax.process_count() > 1
 
     def _put(x):
+        if multihost:
+            return jax.make_array_from_process_local_data(sh, x)
         if x.shape[0] % mesh.size:
             raise ValueError(
                 f"batch dim {x.shape[0]} not divisible by mesh size "
@@ -67,6 +76,17 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
         return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(_put, batch)
+
+
+def initialize_distributed() -> None:
+    """Multi-host bring-up: call once per process BEFORE any backend use
+    on multi-host slices (reads the standard cluster env vars: coordinator
+    address, process id/count).  Safe to call unconditionally — on
+    single-host setups with no coordinator configured it is a no-op."""
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-host / already initialized / no coordinator: fine
 
 
 def shard_pytree_replicated(mesh: Mesh, tree: Any) -> Any:

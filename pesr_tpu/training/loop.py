@@ -54,13 +54,21 @@ def build_discriminator(opts: Opts) -> Discriminator:
 
 
 def evaluate_psnr(opts: Opts, g_apply, g_params,
-                  max_images: Optional[int] = None) -> float:
-    """Self-validation: mean Y-PSNR over the validation set."""
+                  max_images: Optional[int] = None,
+                  tiler: Optional[TiledUpscaler] = None) -> float:
+    """Self-validation: mean Y-PSNR over the validation set.
+
+    Pass a cached ``tiler`` across evals (loop does) so only the first
+    eval pays compilation; params are hot-swapped via update_variables.
+    """
     samples = datasets.load_eval_set(
         opts, opts.valid_dataset, max_images or opts.num_valids)
-    tiler = TiledUpscaler(g_apply, {"params": g_params}, opts.scale,
-                          opts.tile_size, opts.tile_overlap,
-                          opts.infer_batch)
+    if tiler is None:
+        tiler = TiledUpscaler(g_apply, {"params": g_params}, opts.scale,
+                              opts.tile_size, opts.tile_overlap,
+                              opts.infer_batch)
+    else:
+        tiler.update_variables({"params": g_params})
     meter = AverageMeter()
     srs = tiler.upscale_many([s.lr for s in samples])
     for s, sr in zip(samples, srs):
@@ -137,6 +145,10 @@ def run_training(opts: Opts) -> Dict[str, float]:
     # Profiling hook (SURVEY.md §5.1): trace a few steady-state steps.
     profile_at = {5, 6, 7, 8, 9} if opts.profile_dir else set()
 
+    eval_tiler = TiledUpscaler(
+        g_state.apply_fn, {"params": g_state.params}, opts.scale,
+        opts.tile_size, opts.tile_overlap, opts.infer_batch)
+
     for epoch in range(start_epoch, opts.num_epochs):
         for _ in range(opts.steps_per_epoch):
             if global_step - start_step in profile_at:
@@ -182,8 +194,8 @@ def run_training(opts: Opts) -> Dict[str, float]:
         if (epoch + 1) % opts.eval_every == 0:
             try:
                 val_psnr = evaluate_psnr(
-                    opts, g_state.apply_fn,
-                    jax.device_get(g_state.params))
+                    opts, g_state.apply_fn, g_state.params,
+                    tiler=eval_tiler)
                 logger.log(global_step, {"val_psnr": val_psnr},
                            prefix="val")
                 summary["val_psnr"] = val_psnr

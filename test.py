@@ -60,13 +60,20 @@ def main(argv=None) -> int:
               "generator")
 
     samples = load_eval_set(opts)
-    if opts.use_pallas:
+    variables = {"params": params}
+    if opts.quant == "int8":
+        from pesr_tpu.models.quant_apply import (make_int8_apply,
+                                                 quantize_generator_params)
+        variables = {"params": quantize_generator_params(params)}
+        apply_fn = make_int8_apply(opts.scale, opts.res_scale)
+        print("using int8 PTQ inference path")
+    elif opts.use_pallas:
         from pesr_tpu.models.pallas_apply import make_pallas_apply
         apply_fn = make_pallas_apply(opts.scale, opts.res_scale)
         print("using fused Pallas residual-block body")
     else:
         apply_fn = gen.apply
-    tiler = TiledUpscaler(apply_fn, {"params": params}, opts.scale,
+    tiler = TiledUpscaler(apply_fn, variables, opts.scale,
                           opts.tile_size, opts.tile_overlap,
                           opts.infer_batch)
     tiler.warmup()
@@ -90,7 +97,9 @@ def main(argv=None) -> int:
 
     print(f"[{opts.test_dataset} x{opts.scale}] mean PSNR {psnr_m.avg:.2f} "
           f"dB  mean SSIM {ssim_m.avg:.4f}  "
-          f"({total_mp / elapsed:.1f} MP/s output, {len(samples)} images)")
+          f"({total_mp / elapsed:.1f} MP/s end-to-end incl. host I/O over "
+          f"{len(samples)} images; bench.py measures the device-resident "
+          f"contract number)")
     print(f"SR images written to {out_dir}/")
     return 0
 
