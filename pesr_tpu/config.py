@@ -88,6 +88,7 @@ class Opts:
     tile_size: int = 96           # LR tile core side for tiled inference
     tile_overlap: int = 8         # LR halo on each side
     infer_batch: int = 8          # tiles per jitted forward
+    self_ensemble: bool = False   # x8 geometric TTA at inference
 
     # --- TPU-native knobs (new; SURVEY.md §7) ---
     compute_dtype: str = "bfloat16"   # activations/conv compute dtype
@@ -196,6 +197,8 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
         g.add_argument("--tile_size", type=int, default=d.tile_size)
         g.add_argument("--tile_overlap", type=int, default=d.tile_overlap)
         g.add_argument("--infer_batch", type=int, default=d.infer_batch)
+        _add_bool_flag(g, "self_ensemble", d.self_ensemble,
+                       "x8 geometric test-time augmentation")
 
     g = p.add_argument_group("tpu")
     g.add_argument("--compute_dtype", type=str, default=d.compute_dtype,

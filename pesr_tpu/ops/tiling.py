@@ -31,6 +31,35 @@ import numpy as np
 from pesr_tpu.data.augment import denormalize_to_uint8, normalize_uint8
 
 
+def self_ensemble_upscale(tiler: "TiledUpscaler",
+                          lr_u8: np.ndarray) -> np.ndarray:
+    """Geometric self-ensemble (x8 TTA, the EDSR-lineage inference
+    trick): upscale all eight dihedral transforms of the input, invert
+    each transform on its output, average in float, round once.
+
+    8x the compute for typically ~+0.1-0.2 dB PSNR; exposed as
+    ``test.py --self_ensemble``.
+    """
+    acc: Optional[np.ndarray] = None
+    for t in range(8):
+        img = lr_u8
+        if t & 1:
+            img = img[::-1]
+        if t & 2:
+            img = img[:, ::-1]
+        if t & 4:
+            img = np.swapaxes(img, 0, 1)
+        sr = tiler.upscale(np.ascontiguousarray(img)).astype(np.float64)
+        if t & 4:
+            sr = np.swapaxes(sr, 0, 1)
+        if t & 2:
+            sr = sr[:, ::-1]
+        if t & 1:
+            sr = sr[::-1]
+        acc = sr if acc is None else acc + sr
+    return np.clip(np.round(acc / 8.0), 0, 255).astype(np.uint8)
+
+
 class BatchTiledUpscaler:
     """Fully device-resident tiled SR over a batch of SAME-SIZE images.
 

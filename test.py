@@ -26,6 +26,8 @@ from pesr_tpu.utils.logging import AverageMeter
 
 
 def main(argv=None) -> int:
+    from pesr_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     opts = opts_from_args(argv, mode="test")
     gen = build_generator(opts)
 
@@ -73,6 +75,13 @@ def main(argv=None) -> int:
         print("using fused Pallas residual-block body")
     else:
         apply_fn = gen.apply
+        if opts.compute_dtype == "bfloat16":
+            # Pre-cast params for inference: halves weight HBM traffic
+            # and residency vs casting f32 weights inside the program.
+            import jax
+            import jax.numpy as jnp
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), variables)
     tiler = TiledUpscaler(apply_fn, variables, opts.scale,
                           opts.tile_size, opts.tile_overlap,
                           opts.infer_batch)
@@ -82,7 +91,11 @@ def main(argv=None) -> int:
     psnr_m, ssim_m = AverageMeter(), AverageMeter()
     total_mp = 0.0
     t0 = time.time()
-    srs = tiler.upscale_many([s.lr for s in samples])
+    if opts.self_ensemble:
+        from pesr_tpu.ops.tiling import self_ensemble_upscale
+        srs = [self_ensemble_upscale(tiler, s.lr) for s in samples]
+    else:
+        srs = tiler.upscale_many([s.lr for s in samples])
     elapsed = time.time() - t0
 
     for s, sr in zip(samples, srs):

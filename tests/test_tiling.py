@@ -81,6 +81,31 @@ def test_batch_tiled_matches_host_tiled():
         np.testing.assert_array_equal(got[i], host.upscale(imgs[i]))
 
 
+def test_self_ensemble_shape_and_equivariance():
+    """TTA output keeps shape, and averaging over the full dihedral
+    group makes the estimator group-EQUIVARIANT: ensembling a transposed
+    input must equal the transposed ensemble (catches any error in the
+    transform/inverse bookkeeping)."""
+    from pesr_tpu.ops.tiling import self_ensemble_upscale
+
+    variables = _gen_params()
+    tiler = TiledUpscaler(GEN.apply, variables, SCALE, tile_size=16,
+                          overlap=8, batch_size=4)
+    rng = np.random.default_rng(4)
+    lr = rng.integers(0, 255, (20, 28, 3), dtype=np.uint8)
+    out = self_ensemble_upscale(tiler, lr)
+    assert out.shape == (40, 56, 3)
+    assert out.dtype == np.uint8
+
+    sq = rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)
+    a = self_ensemble_upscale(tiler, np.ascontiguousarray(
+        np.swapaxes(sq, 0, 1)))
+    b = np.swapaxes(self_ensemble_upscale(tiler, sq), 0, 1)
+    # identical member sets, averaged in float, rounded once -> at most
+    # a +-1 step from the round of a value landing on .5
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
 def test_upscale_many_matches_single():
     variables = _gen_params()
     rng = np.random.default_rng(2)

@@ -23,6 +23,8 @@ from pesr_tpu.training.loop import run_training
 
 
 def main(argv=None) -> int:
+    from pesr_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     opts = opts_from_args(argv, mode="train")
     summary = run_training(opts)
     print("[done] " + json.dumps({k: round(v, 4)
