@@ -21,7 +21,6 @@ so every config runs in minutes on one chip.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import subprocess
 import sys

@@ -25,7 +25,7 @@ import dataclasses
 import os
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 

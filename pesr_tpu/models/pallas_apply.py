@@ -16,7 +16,6 @@ e.g. via an int8 MXU variant.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax

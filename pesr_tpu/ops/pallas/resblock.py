@@ -26,7 +26,7 @@ opt in via ``--use_pallas``.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -35,14 +35,25 @@ class AverageMeter:
 
 
 class MetricLogger:
-    """JSONL + stdout scalar logger."""
+    """JSONL + stdout scalar logger, with optional TensorBoard mirroring
+    (the reference logs via tensorboardX; here TB is opt-in via
+    ``PESR_TENSORBOARD=1`` since tf.summary pulls in TensorFlow)."""
 
     def __init__(self, log_dir: Optional[str], name: str = "train") -> None:
         self._fh = None
+        self._tb = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._fh = open(os.path.join(log_dir, f"{name}.jsonl"), "a",
                             buffering=1)
+            if os.environ.get("PESR_TENSORBOARD") == "1":
+                try:
+                    import tensorflow as tf
+                    self._tb = tf.summary.create_file_writer(
+                        os.path.join(log_dir, "tb", name))
+                except ImportError:
+                    print("[logger] PESR_TENSORBOARD=1 but tensorflow "
+                          "is unavailable; JSONL only")
         self._t0 = time.time()
 
     def log(self, step: int, scalars: Dict[str, float],
@@ -51,6 +62,12 @@ class MetricLogger:
         rec.update({k: float(v) for k, v in scalars.items()})
         if self._fh:
             self._fh.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default():
+                for k, v in scalars.items():
+                    tf.summary.scalar(f"{prefix or 'train'}/{k}",
+                                      float(v), step=step)
         body = " ".join(f"{k}={v:.4g}" for k, v in rec.items()
                         if k not in ("step", "time"))
         print(f"[{prefix or 'train'} step {step}] {body}", flush=True)
@@ -59,3 +76,6 @@ class MetricLogger:
         if self._fh:
             self._fh.close()
             self._fh = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None

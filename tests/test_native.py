@@ -62,7 +62,6 @@ def test_sampler_rejects_bad_inputs():
 
 
 def test_make_train_iterator_uses_native_sampler():
-    import dataclasses
     from pesr_tpu.config import Opts
     from pesr_tpu.data.datasets import make_train_iterator
 

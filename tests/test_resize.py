@@ -14,7 +14,7 @@ import pytest
 import torch
 
 from pesr_tpu.ops import imresize, resize_kernel_matrix
-from pesr_tpu.ops.resize import _contributions, _cubic
+from pesr_tpu.ops.resize import _cubic
 
 
 def _reference_resize_1d(signal: np.ndarray, out_size: int) -> np.ndarray:
