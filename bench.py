@@ -17,8 +17,13 @@ Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": "MP/s/chip", "vs_baseline": ...}
 (vs_baseline = value / 50.0, the BASELINE.md contract.)
 
-Env overrides: BENCH_TILE, BENCH_OVERLAP, BENCH_IMAGES, BENCH_BLOCKS,
-BENCH_CHANNELS, BENCH_REPEATS.
+Env overrides: BENCH_TILE ("auto" or an int), BENCH_OVERLAP,
+BENCH_IMAGES, BENCH_BLOCKS, BENCH_CHANNELS, BENCH_REPEATS, BENCH_QUANT.
+
+Variance note: this session's tunneled dev chip shows +-20% wall-clock
+drift across hours (shared pool); the bench reports the best of
+BENCH_REPEATS timed passes to damp it, but cross-run comparisons should
+be same-window.
 """
 
 import json
@@ -50,7 +55,8 @@ def main() -> int:
     from pesr_tpu.models import Generator
     from pesr_tpu.ops.tiling import BatchTiledUpscaler
 
-    tile = int(os.environ.get("BENCH_TILE", "170"))
+    tile_env = os.environ.get("BENCH_TILE", "auto")
+    tile = tile_env if tile_env == "auto" else int(tile_env)
     overlap = int(os.environ.get("BENCH_OVERLAP", "8"))
     n_images = int(os.environ.get("BENCH_IMAGES", "8"))
     blocks = int(os.environ.get("BENCH_BLOCKS", "32"))

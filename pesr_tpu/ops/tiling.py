@@ -76,7 +76,13 @@ class BatchTiledUpscaler:
     """
 
     def __init__(self, apply_fn: Callable, variables, scale: int,
-                 tile_size: int = 128, overlap: int = 8) -> None:
+                 tile_size=128, overlap: int = 8) -> None:
+        """``tile_size``: int (square tiles), (th, tw) tuple, or the
+        string "auto" — pick the rectangular tile splitting each image
+        into the fewest near-equal parts whose input area stays under a
+        budget, minimizing halo+grid waste (halo cost scales with the
+        tile perimeter/area ratio, so fewer, larger tiles win until
+        memory pressure)."""
         self.scale, self.tile, self.ov = scale, tile_size, overlap
         self._variables = variables
         self._apply_fn = apply_fn
@@ -86,42 +92,72 @@ class BatchTiledUpscaler:
         """Swap model params without recompiling (same shapes/dtypes)."""
         self._variables = variables
 
+    # Input-area budget per tile for "auto" (LR px): bounds peak HBM for
+    # activations at 256 ch x batch 8 (biggest HR-res buffer ~= area *
+    # 16 * 256ch * 2B * batch; 52k LR px ~= 3.4 GB/buffer).  Fewer,
+    # larger tiles minimize halo waste until this ceiling.
+    _AUTO_TILE_AREA = 272 * 192
+
+    def _tile_hw(self, h: int, w: int) -> Tuple[int, int]:
+        if self.tile == "auto":
+            best = None
+            for nh in range(1, 9):
+                for nw in range(1, 9):
+                    th = math.ceil(h / nh)
+                    tw = math.ceil(w / nw)
+                    area_in = (th + 2 * self.ov) * (tw + 2 * self.ov)
+                    if area_in > self._AUTO_TILE_AREA:
+                        continue
+                    waste = nh * nw * area_in  # total input px processed
+                    if best is None or waste < best[0]:
+                        best = (waste, th, tw)
+            if best is None:  # image larger than any budgeted grid
+                side = int(math.sqrt(self._AUTO_TILE_AREA)) - 2 * self.ov
+                return side, side
+            return best[1], best[2]
+        if isinstance(self.tile, tuple):
+            return self.tile
+        return self.tile, self.tile
+
     def _build(self, b: int, h: int, w: int):
-        t, ov, s = self.tile, self.ov, self.scale
-        nh, nw = math.ceil(h / t), math.ceil(w / t)
+        ov, s = self.ov, self.scale
+        th, tw = self._tile_hw(h, w)
+        nh, nw = math.ceil(h / th), math.ceil(w / tw)
         apply_fn = self._apply_fn
 
         def run(variables, padded_u8: jnp.ndarray) -> jnp.ndarray:
             x = normalize_uint8(padded_u8)
-            canvas = jnp.zeros((b, nh * t * s, nw * t * s, 3), jnp.uint8)
+            canvas = jnp.zeros((b, nh * th * s, nw * tw * s, 3), jnp.uint8)
 
             def body(k, canvas):
                 i, j = k // nw, k % nw
                 tiles = jax.lax.dynamic_slice(
-                    x, (0, i * t, j * t, 0), (b, t + 2 * ov, t + 2 * ov, 3))
+                    x, (0, i * th, j * tw, 0),
+                    (b, th + 2 * ov, tw + 2 * ov, 3))
                 sr = apply_fn(variables, tiles)
                 core = denormalize_to_uint8(
-                    sr[:, ov * s:(ov + t) * s, ov * s:(ov + t) * s, :])
+                    sr[:, ov * s:(ov + th) * s, ov * s:(ov + tw) * s, :])
                 return jax.lax.dynamic_update_slice(
-                    canvas, core, (0, i * t * s, j * t * s, 0))
+                    canvas, core, (0, i * th * s, j * tw * s, 0))
 
             return jax.lax.fori_loop(0, nh * nw, body, canvas)
 
-        return jax.jit(run), (nh, nw)
+        return jax.jit(run), (nh, nw, th, tw)
 
     def upscale_batch_device(self, imgs_u8: np.ndarray) -> jnp.ndarray:
-        """[B,H,W,3] uint8 host -> [B, nh*t*s, nw*t*s, 3] uint8 DEVICE
-        array (padded canvas; crop to H*s x W*s for the true image)."""
+        """[B,H,W,3] uint8 host -> padded-canvas uint8 DEVICE array
+        (crop to H*s x W*s for the true image)."""
         if imgs_u8.dtype != np.uint8 or imgs_u8.ndim != 4:
             raise ValueError("expected BHWC uint8")
         b, h, w = imgs_u8.shape[:3]
         key = (b, h, w)
         if key not in self._compiled:
             self._compiled[key] = self._build(b, h, w)
-        run, (nh, nw) = self._compiled[key]
-        t, ov = self.tile, self.ov
+        run, (nh, nw, th, tw) = self._compiled[key]
+        ov = self.ov
         padded = np.stack([
-            _pad_replicate(img, (ov, nh * t - h + ov, ov, nw * t - w + ov))
+            _pad_replicate(img, (ov, nh * th - h + ov,
+                                 ov, nw * tw - w + ov))
             for img in imgs_u8])
         return run(self._variables, jnp.asarray(padded))
 
