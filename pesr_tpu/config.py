@@ -64,7 +64,10 @@ class Opts:
     gan_type: str = "RSGAN"       # RSGAN | RaSGAN | RaLSGAN | LSGAN | GAN
     use_gp: bool = False          # gradient penalty on D
     spectral_norm: bool = False   # spectral norm on D convs
-    focal_loss: bool = True       # focal re-weighting of the GAN BCE
+    # Focal re-weighting is an option the reference exposes; whether it
+    # defaults on is unverifiable (SURVEY.md §0) and it sharpens the
+    # adversarial gradient, so the safer standard-RaGAN default is off.
+    focal_loss: bool = False
     fl_gamma: float = 1.0
     alpha_vgg: float = 50.0
     alpha_gan: float = 1.0

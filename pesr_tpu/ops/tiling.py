@@ -60,6 +60,41 @@ def self_ensemble_upscale(tiler: "TiledUpscaler",
     return np.clip(np.round(acc / 8.0), 0, 255).astype(np.uint8)
 
 
+class WholeImageUpscaler:
+    """The reference's inference mode: one whole-image forward per image,
+    no tiling (SURVEY.md §3.3) — selected with ``--tile_size 0``.
+
+    On TPU this recompiles per distinct image shape (cached), so it only
+    makes sense for small fixed-size benchmark sets; the tiled engines
+    are the production path.  Provided for exact behavioral parity.
+    """
+
+    def __init__(self, apply_fn: Callable, variables, scale: int) -> None:
+        self.scale = scale
+        self._variables = variables
+
+        def forward(variables, img_u8: jnp.ndarray) -> jnp.ndarray:
+            x = normalize_uint8(img_u8)[None]
+            return denormalize_to_uint8(apply_fn(variables, x)[0])
+
+        self._forward = jax.jit(forward)
+
+    def update_variables(self, variables) -> None:
+        self._variables = variables
+
+    def warmup(self) -> None:  # interface parity with TiledUpscaler
+        pass
+
+    def upscale(self, lr_u8: np.ndarray) -> np.ndarray:
+        if lr_u8.dtype != np.uint8 or lr_u8.ndim != 3:
+            raise ValueError("expected HWC uint8")
+        return np.asarray(self._forward(self._variables,
+                                        jnp.asarray(lr_u8)))
+
+    def upscale_many(self, imgs) -> list:
+        return [self.upscale(img) for img in imgs]
+
+
 class BatchTiledUpscaler:
     """Fully device-resident tiled SR over a batch of SAME-SIZE images.
 

@@ -82,9 +82,16 @@ def main(argv=None) -> int:
             import jax.numpy as jnp
             variables = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16), variables)
-    tiler = TiledUpscaler(apply_fn, variables, opts.scale,
-                          opts.tile_size, opts.tile_overlap,
-                          opts.infer_batch)
+    if opts.tile_size == 0:
+        # Reference behavior: whole-image forward, no tiling
+        # (SURVEY.md §3.3; recompiles per distinct image shape).
+        from pesr_tpu.ops.tiling import WholeImageUpscaler
+        tiler = WholeImageUpscaler(apply_fn, variables, opts.scale)
+        print("whole-image mode (no tiling)")
+    else:
+        tiler = TiledUpscaler(apply_fn, variables, opts.scale,
+                              opts.tile_size, opts.tile_overlap,
+                              opts.infer_batch)
     tiler.warmup()
 
     out_dir = os.path.join(opts.output_dir, opts.test_dataset)
@@ -98,6 +105,7 @@ def main(argv=None) -> int:
         srs = tiler.upscale_many([s.lr for s in samples])
     elapsed = time.time() - t0
 
+    bicubic_m = AverageMeter()
     for s, sr in zip(samples, srs):
         imwrite_uint8(os.path.join(out_dir, f"{s.name}.png"), sr)
         total_mp += sr.shape[0] * sr.shape[1] / 1e6
@@ -106,13 +114,26 @@ def main(argv=None) -> int:
             ssim = calc_ssim(sr, s.hr, crop_border=opts.scale)
             psnr_m.update(psnr)
             ssim_m.update(ssim)
-            print(f"{s.name}: PSNR {psnr:.2f} dB  SSIM {ssim:.4f}")
+            # Bicubic upscale baseline: the floor any trained model
+            # must beat (MATLAB-exact kernel, host numpy).
+            import numpy as np
+            from pesr_tpu.ops.resize import resize_kernel_matrix
+            h, w = s.lr.shape[:2]
+            mh = resize_kernel_matrix(h, h * opts.scale).astype(np.float64)
+            mw = resize_kernel_matrix(w, w * opts.scale).astype(np.float64)
+            bic = np.einsum("oh,hwc->owc", mh, s.lr.astype(np.float64))
+            bic = np.einsum("ow,hwc->hoc", mw, bic)
+            bic = np.clip(np.round(bic), 0, 255).astype(np.uint8)
+            bpsnr = calc_psnr(bic, s.hr, crop_border=opts.scale)
+            bicubic_m.update(bpsnr)
+            print(f"{s.name}: PSNR {psnr:.2f} dB  SSIM {ssim:.4f}  "
+                  f"(bicubic {bpsnr:.2f} dB)")
 
     print(f"[{opts.test_dataset} x{opts.scale}] mean PSNR {psnr_m.avg:.2f} "
-          f"dB  mean SSIM {ssim_m.avg:.4f}  "
-          f"({total_mp / elapsed:.1f} MP/s end-to-end incl. host I/O over "
-          f"{len(samples)} images; bench.py measures the device-resident "
-          f"contract number)")
+          f"dB  mean SSIM {ssim_m.avg:.4f}  bicubic {bicubic_m.avg:.2f} dB"
+          f"  ({total_mp / elapsed:.1f} MP/s end-to-end incl. host I/O "
+          f"over {len(samples)} images; bench.py measures the "
+          f"device-resident contract number)")
     print(f"SR images written to {out_dir}/")
     return 0
 

@@ -106,6 +106,21 @@ def test_self_ensemble_shape_and_equivariance():
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
+def test_whole_image_mode_matches_direct_forward():
+    """--tile_size 0 path: exact whole-image SAME-conv forward."""
+    from pesr_tpu.ops.tiling import WholeImageUpscaler
+
+    variables = _gen_params()
+    lr = np.random.default_rng(5).integers(0, 255, (18, 26, 3),
+                                           dtype=np.uint8)
+    w = WholeImageUpscaler(GEN.apply, variables, SCALE)
+    got = w.upscale(lr)
+    ref = np.asarray(denormalize_to_uint8(GEN.apply(
+        variables, normalize_uint8(jnp.asarray(lr[None])))[0]))
+    np.testing.assert_array_equal(got, ref)
+    assert len(w.upscale_many([lr, lr])) == 2
+
+
 def test_upscale_many_matches_single():
     variables = _gen_params()
     rng = np.random.default_rng(2)
