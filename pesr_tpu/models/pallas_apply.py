@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from pesr_tpu.ops.pallas.resblock import fused_resblock
-from pesr_tpu.ops.pixel_shuffle import pixel_shuffle
+from pesr_tpu.ops.pallas.upsampler import fused_upsampler_stage
 
 
 def _conv(x: jnp.ndarray, p: Any, dtype) -> jnp.ndarray:
@@ -62,8 +62,10 @@ def make_pallas_apply(scale: int, res_scale: float = 0.1,
 
         y = _conv(y, p["tail"], dtype) + head
         for i in range(num_stages):
-            y = _conv(y, p["upsampler"][f"conv{i}"], dtype)
-            y = pixel_shuffle(y, 2)
+            up = p["upsampler"][f"conv{i}"]
+            y = fused_upsampler_stage(y, up["kernel"].astype(dtype),
+                                      up["bias"].astype(dtype),
+                                      tile=tile, interpret=interpret)
         out = _conv(y, p["out"], dtype)
         return out.astype(jnp.float32)
 

@@ -10,5 +10,8 @@ optimization with a fallback, not a correctness dependency").
 
 from pesr_tpu.ops.pallas.resblock import (fused_resblock,
                                           resblock_reference)
+from pesr_tpu.ops.pallas.upsampler import (fused_upsampler_stage,
+                                           upsampler_stage_reference)
 
-__all__ = ["fused_resblock", "resblock_reference"]
+__all__ = ["fused_resblock", "resblock_reference",
+           "fused_upsampler_stage", "upsampler_stage_reference"]

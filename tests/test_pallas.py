@@ -49,6 +49,46 @@ def test_fused_resblock_single_tile_covers_image():
                                atol=1e-5)
 
 
+def test_fused_upsampler_matches_reference():
+    from pesr_tpu.ops.pallas import (fused_upsampler_stage,
+                                     upsampler_stage_reference)
+    c = 8
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 11, 14, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, c, 4 * c)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal((4 * c,)) * 0.1, jnp.float32)
+    got = fused_upsampler_stage(x, w, b, tile=(8, 8), interpret=True)
+    ref = upsampler_stage_reference(x, w, b)
+    assert got.shape == (2, 22, 28, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_fused_upsampler_matches_torch_pixel_shuffle_order():
+    """End-to-end channel-order check against torch (conv + PixelShuffle),
+    so converted checkpoints stay exact through the fused stage."""
+    import torch
+    c = 4
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 6, 6, c)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, c, 4 * c)) * 0.2).astype(np.float32)
+    b = (rng.standard_normal((4 * c,)) * 0.1).astype(np.float32)
+
+    from pesr_tpu.ops.pallas import fused_upsampler_stage
+    ours = np.asarray(fused_upsampler_stage(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), tile=(8, 8),
+        interpret=True))
+
+    with torch.no_grad():
+        conv = torch.nn.Conv2d(c, 4 * c, 3, padding=1)
+        conv.weight.copy_(torch.from_numpy(w.transpose(3, 2, 0, 1)))
+        conv.bias.copy_(torch.from_numpy(b))
+        t = conv(torch.from_numpy(x).permute(0, 3, 1, 2))
+        ref = torch.pixel_shuffle(t, 2).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
 def test_pallas_apply_matches_generator_apply():
     """The full --use_pallas inference path must reproduce
     models.Generator.apply on the same params tree."""
