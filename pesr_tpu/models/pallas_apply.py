@@ -3,8 +3,9 @@
 
 Consumes the SAME params pytree as models.Generator (so checkpoints,
 the torch converter, and the tiling engines are shared) but executes the
-32-block body as a ``lax.scan`` over pesr_tpu.ops.pallas.fused_resblock.
-Head/tail/upsampler convs stay on XLA (they are ~5% of FLOPs).
+32-block body as a ``lax.scan`` over pesr_tpu.ops.pallas.fused_resblock
+and each x2 upsampler stage via pesr_tpu.ops.pallas.fused_upsampler_stage;
+only the head/tail/output convs stay on XLA.
 
 Honest status (measured on v5e, 2026-08-16): XLA's conv lowering runs
 the body at ~141 TFLOP/s effective (71% of bf16 peak) and the fused

@@ -33,24 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _conv3x3_shift_acc(x: jnp.ndarray, w: jnp.ndarray,
-                       b: jnp.ndarray) -> jnp.ndarray:
-    """Valid 3x3 conv of an (hin, win, C) tile via 9 full-tile matmuls.
-
-    Returns (hin-2, win-2, C) float32.  ``w`` is (3, 3, C, C) HWIO.
-    """
-    hin, win, c = x.shape
-    hout, wout = hin - 2, win - 2
-    xf = x.reshape(hin * win, c)
-    acc = jnp.zeros((hout, wout, c), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            y = jnp.dot(xf, w[dy, dx],
-                        preferred_element_type=jnp.float32)
-            y = y.reshape(hin, win, c)
-            acc = acc + y[dy:dy + hout, dx:dx + wout, :]
-    return acc + b.astype(jnp.float32)
+from pesr_tpu.ops.pallas.common import (conv3x3_shift_acc, halo_tiles,
+                                        untile)
 
 
 def _resblock_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
@@ -62,7 +46,7 @@ def _resblock_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     th = o_ref.shape[1]
     tw = o_ref.shape[2]
 
-    y1 = _conv3x3_shift_acc(x, w1_ref[...], b1_ref[...])      # (TH+2,TW+2,C)
+    y1 = conv3x3_shift_acc(x, w1_ref[...], b1_ref[...])      # (TH+2,TW+2,C)
     y1 = jnp.maximum(y1, 0.0)
 
     # SAME-conv chain semantics: the reference zero-pads conv2's INPUT at
@@ -76,15 +60,11 @@ def _resblock_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     inside = (gy >= 0) & (gy < img_h) & (gx >= 0) & (gx < img_w)
     y1 = jnp.where(inside, y1, 0.0).astype(compute_dtype)
 
-    y2 = _conv3x3_shift_acc(y1, w2_ref[...], b2_ref[...])     # (TH,TW,C)
+    y2 = conv3x3_shift_acc(y1, w2_ref[...], b2_ref[...])     # (TH,TW,C)
 
     core = x[2:2 + th, 2:2 + tw, :].astype(jnp.float32)
     out = core + jnp.float32(res_scale) * y2
     o_ref[0] = out.astype(o_ref.dtype)
-
-
-def _ceil_to(v: int, m: int) -> int:
-    return -(-v // m) * m
 
 
 @functools.partial(jax.jit, static_argnames=("res_scale", "tile",
@@ -103,23 +83,9 @@ def fused_resblock(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     """
     b, h, w, c = x.shape
     th, tw = tile
-    nh, nw = -(-h // th), -(-w // tw)
     compute_dtype = x.dtype if x.dtype != jnp.float64 else jnp.float32
 
-    xp = jnp.pad(x, ((0, 0), (2, nh * th - h + 2), (2, nw * tw - w + 2),
-                     (0, 0)))
-
-    # Overlapping halo windows: [B, nh, nw, TH+4, TW+4, C].
-    i_idx = jnp.arange(nh) * th
-    j_idx = jnp.arange(nw) * tw
-    win_h = jax.vmap(
-        lambda i: jax.lax.dynamic_slice_in_dim(xp, i, th + 4, axis=1)
-    )(i_idx)                                    # [nh, B, TH+4, Wp, C]
-    tiles = jax.vmap(
-        lambda j: jax.lax.dynamic_slice_in_dim(win_h, j, tw + 4, axis=3)
-    )(j_idx)                                    # [nw, nh, B, TH+4, TW+4, C]
-    tiles = tiles.transpose(2, 1, 0, 3, 4, 5).reshape(
-        b * nh * nw, th + 4, tw + 4, c)
+    tiles, nh, nw = halo_tiles(x, th, tw, halo=2)
 
     wdt = compute_dtype
     kernel = functools.partial(_resblock_kernel, res_scale=res_scale,
@@ -150,9 +116,7 @@ def fused_resblock(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     )(tiles, w1.astype(wdt), b1.astype(wdt), w2.astype(wdt),
       b2.astype(wdt))
 
-    out = out_tiles.reshape(b, nh, nw, th, tw, c).transpose(
-        0, 1, 3, 2, 4, 5).reshape(b, nh * th, nw * tw, c)
-    return out[:, :h, :w, :]
+    return untile(out_tiles, b, nh, nw, h, w)
 
 
 def resblock_reference(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,

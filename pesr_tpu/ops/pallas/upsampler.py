@@ -28,33 +28,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _upsampler_kernel(x_ref, w_ref, b_ref, o_ref, *, compute_dtype):
-    """x block (1, TH+2, TW+2, C) -> o block (1, 2*TH, 2*TW, C).
+    """Grid step (tile k, channel-chunk m): x block (1, TH+2, TW+2, C)
+    + per-chunk weights (1, 3, 3, C, 4*CHUNK) -> o block
+    (1, 2*TH, 2*TW, CHUNK).
 
-    The wrapper pre-permutes the 4C output channels into quadrant-major
-    order (quadrant q = i*2+j contiguous in [q*C, (q+1)*C)), so the
-    depth-to-space reduces to four contiguous channel slices written at
-    spatial stride 2 — Mosaic rejects the naive rank-5 reshape/transpose
-    ("unsupported shape cast"), but strided stores lower fine.
+    The wrapper pre-groups the 4C conv outputs so each chunk's columns
+    are [quadrant q][final channel c0..c0+CHUNK) contiguously; the
+    depth-to-space is then four contiguous slices written at spatial
+    stride 2.  Mosaic lowering constraints encountered (pinned by the
+    C=256 flagship-width TPU check):
+      * the naive rank-5 reshape/transpose is rejected
+        ("unsupported shape cast");
+      * strided stores must be 32-bit (hence the f32 o_ref, cast back
+        by the wrapper where XLA fuses it into the consumer);
+      * the strided store's base memref needs a last dim <= 128, hence
+        the channel-chunk grid dimension.
     """
-    x = x_ref[0].astype(compute_dtype)
-    hin, win, c = x.shape
-    th, tw = hin - 2, win - 2
+    from pesr_tpu.ops.pallas.common import conv3x3_shift_acc
 
-    xf = x.reshape(hin * win, c)
-    acc = jnp.zeros((th, tw, 4 * c), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            y = jnp.dot(xf, w_ref[dy, dx],
-                        preferred_element_type=jnp.float32)
-            y = y.reshape(hin, win, 4 * c)
-            acc = acc + y[dy:dy + th, dx:dx + tw, :]
-    # Mosaic only lowers strided stores for 32-bit data -> o_ref is f32
-    # (the wrapper casts back; XLA fuses the convert into the consumer).
-    acc = acc + b_ref[...].astype(jnp.float32)
+    x = x_ref[0].astype(compute_dtype)
+    chunk = o_ref.shape[-1]
+
+    # b_ref carries ALL chunks (Mosaic block rules disallow a
+    # 1-of-n_chunks second-minor block); select this grid step's row.
+    bias = b_ref[pl.program_id(1)]
+    acc = conv3x3_shift_acc(x, w_ref[0], bias)  # (TH, TW, 4*chunk)
 
     for q in range(4):
         i, j = q // 2, q % 2
-        o_ref[0, i::2, j::2, :] = acc[:, :, q * c:(q + 1) * c]
+        o_ref[0, i::2, j::2, :] = acc[:, :, q * chunk:(q + 1) * chunk]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -68,45 +70,42 @@ def fused_upsampler_stage(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     """
     bsz, h, w_dim, c = x.shape
     th, tw = tile
-    nh, nw = -(-h // th), -(-w_dim // tw)
     compute_dtype = x.dtype if x.dtype != jnp.float64 else jnp.float32
 
-    # Quadrant-major channel permutation (see kernel docstring): torch
-    # PixelShuffle order is ch = c_idx*4 + (i*2+j); regroup to
-    # ch' = (i*2+j)*C + c_idx.
-    perm = jnp.asarray([c_idx * 4 + q for q in range(4)
-                        for c_idx in range(c)])
-    w = jnp.take(w, perm, axis=3)
-    b = jnp.take(b, perm, axis=0)
+    # Channel-chunked, quadrant-major weight regrouping (see kernel
+    # docstring): torch PixelShuffle order is ch = c_idx*4 + (i*2+j);
+    # chunk m holds columns [q][c0 + t] for q in 0..3, t in 0..CHUNK.
+    chunk = min(c, 128)
+    n_chunks = -(-c // chunk)
+    if c % chunk:
+        raise ValueError(f"channels {c} must be a multiple of {chunk}")
+    cols = jnp.asarray(
+        [[(m * chunk + t) * 4 + q for q in range(4)
+          for t in range(chunk)] for m in range(n_chunks)])  # [m, 4*chunk]
+    wg = jnp.take(w, cols.reshape(-1), axis=3).reshape(
+        3, 3, c, n_chunks, 4 * chunk).transpose(3, 0, 1, 2, 4)
+    bg = jnp.take(b, cols.reshape(-1), axis=0).reshape(
+        n_chunks, 4 * chunk)
 
-    xp = jnp.pad(x, ((0, 0), (1, nh * th - h + 1), (1, nw * tw - w_dim + 1),
-                     (0, 0)))
-
-    i_idx = jnp.arange(nh) * th
-    j_idx = jnp.arange(nw) * tw
-    win_h = jax.vmap(
-        lambda i: jax.lax.dynamic_slice_in_dim(xp, i, th + 2, axis=1)
-    )(i_idx)
-    tiles = jax.vmap(
-        lambda j: jax.lax.dynamic_slice_in_dim(win_h, j, tw + 2, axis=3)
-    )(j_idx)
-    tiles = tiles.transpose(2, 1, 0, 3, 4, 5).reshape(
-        bsz * nh * nw, th + 2, tw + 2, c)
+    from pesr_tpu.ops.pallas.common import halo_tiles, untile
+    tiles, nh, nw = halo_tiles(x, th, tw, halo=1)
 
     wdt = compute_dtype
     out_tiles = pl.pallas_call(
         functools.partial(_upsampler_kernel, compute_dtype=wdt),
-        grid=(bsz * nh * nw,),
+        grid=(bsz * nh * nw, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, th + 2, tw + 2, c), lambda k: (k, 0, 0, 0),
+            pl.BlockSpec((1, th + 2, tw + 2, c),
+                         lambda k, m: (k, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, c, 4 * c), lambda k: (0, 0, 0, 0),
+            pl.BlockSpec((1, 3, 3, c, 4 * chunk),
+                         lambda k, m: (m, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * c,), lambda k: (0,),
+            pl.BlockSpec((n_chunks, 4 * chunk), lambda k, m: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2 * th, 2 * tw, c),
-                               lambda k: (k, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 2 * th, 2 * tw, chunk),
+                               lambda k, m: (k, 0, 0, m),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz * nh * nw, 2 * th, 2 * tw, c),
                                        jnp.float32),
@@ -116,11 +115,12 @@ def fused_upsampler_stage(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             bytes_accessed=(th + 2) * (tw + 2) * c * 2 * 5,
             transcendentals=0,
         ),
-    )(tiles, w.astype(wdt), b.astype(wdt))
+    )(tiles, wg.astype(wdt), bg.astype(jnp.float32))
+    # bias stays f32: bf16 packs 2 rows/sublane and Mosaic cannot prove a
+    # dynamic (program_id) row index even, rejecting the chunk-row load.
 
-    out = out_tiles.reshape(bsz, nh, nw, 2 * th, 2 * tw, c).transpose(
-        0, 1, 3, 2, 4, 5).reshape(bsz, nh * 2 * th, nw * 2 * tw, c)
-    return out[:, :2 * h, :2 * w_dim, :].astype(x.dtype)
+    return untile(out_tiles, bsz, nh, nw, 2 * h, 2 * w_dim
+                  ).astype(x.dtype)
 
 
 def upsampler_stage_reference(x: jnp.ndarray, w: jnp.ndarray,

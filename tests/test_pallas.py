@@ -65,6 +65,23 @@ def test_fused_upsampler_matches_reference():
                                atol=1e-5)
 
 
+def test_fused_upsampler_multi_chunk_channels():
+    """C > 128 exercises the channel-chunk grid dimension (the Mosaic
+    strided-store path that broke at the flagship width)."""
+    from pesr_tpu.ops.pallas import (fused_upsampler_stage,
+                                     upsampler_stage_reference)
+    c = 256
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, c, 4 * c)) * 0.05,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal((4 * c,)) * 0.05, jnp.float32)
+    got = fused_upsampler_stage(x, w, b, tile=(8, 8), interpret=True)
+    ref = upsampler_stage_reference(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5)
+
+
 def test_fused_upsampler_matches_torch_pixel_shuffle_order():
     """End-to-end channel-order check against torch (conv + PixelShuffle),
     so converted checkpoints stay exact through the fused stage."""
