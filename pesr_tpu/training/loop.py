@@ -140,7 +140,6 @@ def run_training(opts: Opts) -> Dict[str, float]:
     t_start = time.time()
     t_window = time.time()
     summary: Dict[str, float] = {}
-    start_epoch = start_step // max(opts.steps_per_epoch, 1)
 
     # Profiling hook (SURVEY.md §5.1): trace a few steady-state steps.
     profile_at = {5, 6, 7, 8, 9} if opts.profile_dir else set()
@@ -148,6 +147,44 @@ def run_training(opts: Opts) -> Dict[str, float]:
     eval_tiler = TiledUpscaler(
         g_state.apply_fn, {"params": g_state.params}, opts.scale,
         opts.tile_size, opts.tile_overlap, opts.infer_batch)
+
+    # Failure recovery (SURVEY.md §5.3): interruption (Ctrl-C, preempt
+    # signal translated to KeyboardInterrupt) checkpoints before exiting,
+    # so --resume continues from the interrupted step, not the last
+    # scheduled snapshot.
+    try:
+        _train_epochs(
+            opts, mesh, rng, step_fn, prep, train_iter, logger, pending,
+            eval_tiler, gan_phase, vgg_params, profile_at, start_step,
+            summary, locals_box := {"g": g_state, "d": d_state,
+                                    "step": global_step,
+                                    "t_window": t_window})
+    except KeyboardInterrupt:
+        path = ckpt.save_train_ckpt(opts.check_point, locals_box["step"],
+                                    locals_box["g"], locals_box["d"])
+        print(f"\n[interrupt] checkpoint saved to {path}; resume with "
+              f"--resume --check_point {opts.check_point}")
+        raise
+    g_state, d_state = locals_box["g"], locals_box["d"]
+    global_step = locals_box["step"]
+
+    if hasattr(train_iter, "close"):
+        train_iter.close()
+    summary["steps"] = global_step
+    summary["wall_s"] = time.time() - t_start
+    logger.close()
+    return summary
+
+
+def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
+                  pending, eval_tiler, gan_phase, vgg_params, profile_at,
+                  start_step, summary, box) -> None:
+    """Epoch/step loops; live state is threaded through ``box`` so the
+    interrupt handler in run_training can checkpoint it."""
+    g_state, d_state = box["g"], box["d"]
+    global_step = box["step"]
+    t_window = box["t_window"]
+    start_epoch = start_step // max(opts.steps_per_epoch, 1)
 
     for epoch in range(start_epoch, opts.num_epochs):
         for _ in range(opts.steps_per_epoch):
@@ -170,6 +207,7 @@ def run_training(opts: Opts) -> Dict[str, float]:
                 g_state, metrics = step_fn(g_state, lr_img, hr_img)
 
             global_step += 1
+            box.update(g=g_state, d=d_state, step=global_step)
             if (global_step - start_step - 1 in profile_at
                     and global_step - start_step - 1 == max(profile_at)):
                 jax.tree_util.tree_map(
@@ -207,10 +245,3 @@ def run_training(opts: Opts) -> Dict[str, float]:
             path = ckpt.save_train_ckpt(opts.check_point, global_step,
                                         g_state, d_state)
             print(f"[ckpt] saved {path}")
-
-    if hasattr(train_iter, "close"):
-        train_iter.close()
-    summary["steps"] = global_step
-    summary["wall_s"] = time.time() - t_start
-    logger.close()
-    return summary
