@@ -62,6 +62,26 @@ def save_train_ckpt(ckpt_dir: str, step: int, g_state: Any,
     return path
 
 
+def save_best_ckpt(ckpt_dir: str, step: int, g_state: Any,
+                   d_state: Any = None) -> str:
+    """Overwrite the experiment's ``best`` checkpoint (best-validation
+    copy the reference keeps alongside snapshots, SURVEY.md §5.4).
+    Restorable through the same step-dir readers via its path."""
+    from flax import serialization
+
+    path = os.path.join(_to_abs(ckpt_dir), "best")
+    payload = {
+        "step": np.asarray(step),
+        "g": jax.device_get(serialization.to_state_dict(g_state)),
+    }
+    if d_state is not None:
+        payload["d"] = jax.device_get(
+            serialization.to_state_dict(d_state))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    return path
+
+
 def restore_train_state(path: str, g_template: Any,
                         d_template: Any = None):
     """Restore full train states onto template TrainStates.
@@ -84,11 +104,17 @@ def restore_train_state(path: str, g_template: Any,
     return g_state, d_state, int(payload["step"])
 
 
+def _is_ckpt_dir(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, "_CHECKPOINT_METADATA"))
+
+
 def _resolve(path: str) -> str:
+    """Accept a concrete checkpoint dir (step_N, best, or any orbax
+    dir), or an experiment dir (resolving its latest step_N)."""
     path = _to_abs(path)
-    resolved = path if _STEP_RE.match(os.path.basename(path)) else None
-    if resolved is None:
-        resolved = latest_step_dir(path)
+    if _is_ckpt_dir(path):
+        return path
+    resolved = latest_step_dir(path)
     if resolved is None or not os.path.isdir(resolved):
         raise FileNotFoundError(f"no checkpoint found at {path}")
     return resolved

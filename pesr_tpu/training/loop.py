@@ -237,6 +237,16 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                 logger.log(global_step, {"val_psnr": val_psnr},
                            prefix="val")
                 summary["val_psnr"] = val_psnr
+                # Best-PSNR checkpoint (SURVEY.md §5.4: the reference
+                # keeps a best copy alongside the periodic snapshots).
+                if val_psnr > box.get("best_psnr", -1.0):
+                    box["best_psnr"] = val_psnr
+                    path = ckpt.save_best_ckpt(opts.check_point,
+                                               global_step, g_state,
+                                               d_state)
+                    print(f"[ckpt] new best val_psnr={val_psnr:.2f} "
+                          f"-> {path}")
+                    summary["best_psnr"] = val_psnr
             except FileNotFoundError as e:
                 print(f"[val] skipped: {e}")
 
