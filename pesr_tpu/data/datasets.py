@@ -154,19 +154,25 @@ class PairedImageFolder:
         return self._read(p) if p else None
 
 
-def host_bicubic_downsample(hr: np.ndarray, scale: int) -> np.ndarray:
-    """MATLAB-bicubic downsample on host (numpy matmuls) with uint8
-    requantization — mirrors how DIV2K LR files were generated, for
-    eval-set use when only HR images exist on disk."""
-    h, w = hr.shape[:2]
-    h2, w2 = (h // scale) * scale, (w // scale) * scale
-    hr = hr[:h2, :w2]
-    mh = resize_kernel_matrix(h2, h2 // scale).astype(np.float64)
-    mw = resize_kernel_matrix(w2, w2 // scale).astype(np.float64)
-    x = hr.astype(np.float64)
+def host_bicubic_resize(img: np.ndarray, out_h: int,
+                        out_w: int) -> np.ndarray:
+    """MATLAB-bicubic resize on host (numpy matmuls) with uint8
+    requantization — the shared core for LR synthesis and the bicubic
+    upscale baseline."""
+    mh = resize_kernel_matrix(img.shape[0], out_h).astype(np.float64)
+    mw = resize_kernel_matrix(img.shape[1], out_w).astype(np.float64)
+    x = img.astype(np.float64)
     x = np.einsum("oh,hwc->owc", mh, x, optimize=True)
     x = np.einsum("ow,hwc->hoc", mw, x, optimize=True)
     return np.clip(np.round(x), 0, 255).astype(np.uint8)
+
+
+def host_bicubic_downsample(hr: np.ndarray, scale: int) -> np.ndarray:
+    """MATLAB-bicubic downsample on host — mirrors how DIV2K LR files
+    were generated, for eval-set use when only HR images exist."""
+    h, w = hr.shape[:2]
+    h2, w2 = (h // scale) * scale, (w // scale) * scale
+    return host_bicubic_resize(hr[:h2, :w2], h2 // scale, w2 // scale)
 
 
 # --------------------------------------------------------------------------

@@ -78,7 +78,10 @@ def fused_upsampler_stage(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     chunk = min(c, 128)
     n_chunks = -(-c // chunk)
     if c % chunk:
-        raise ValueError(f"channels {c} must be a multiple of {chunk}")
+        # Widths >128 not divisible by 128 can't use the chunked strided
+        # stores — fall back to the XLA path (this is an opt-in
+        # optimization, never a correctness dependency; SURVEY.md §7.6).
+        return upsampler_stage_reference(x, w, b)
     cols = jnp.asarray(
         [[(m * chunk + t) * 4 + q for q in range(4)
           for t in range(chunk)] for m in range(n_chunks)])  # [m, 4*chunk]

@@ -39,46 +39,51 @@ def latest_step_dir(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, max(steps)[1])
 
 
+def _payload(step: int, g_state: Any, d_state: Any,
+             best_psnr: Optional[float]) -> dict:
+    from flax import serialization
+
+    payload = {
+        "step": np.asarray(step),
+        "g": jax.device_get(serialization.to_state_dict(g_state)),
+    }
+    if d_state is not None:
+        payload["d"] = jax.device_get(
+            serialization.to_state_dict(d_state))
+    if best_psnr is not None:
+        payload["best_psnr"] = np.asarray(best_psnr)
+    return payload
+
+
 def save_train_ckpt(ckpt_dir: str, step: int, g_state: Any,
-                    d_state: Any = None) -> str:
-    """Write one step directory: {g: <state dict>, d: <state dict>, step}.
+                    d_state: Any = None,
+                    best_psnr: Optional[float] = None) -> str:
+    """Write one step directory: {g: <state dict>, d: <state dict>,
+    step, best_psnr}.
 
     States are serialized via ``flax.serialization.to_state_dict`` (pure
     nested dicts) so restore can rebuild the exact optax pytree types by
     deserializing onto a freshly-constructed template state — full
-    optimizer-state resume, not just params (SURVEY.md §5.4)."""
-    from flax import serialization
-
+    optimizer-state resume, not just params (SURVEY.md §5.4).
+    ``best_psnr`` rides along so best-checkpoint tracking survives
+    --resume instead of being clobbered by the first post-resume eval."""
     path = os.path.join(_to_abs(ckpt_dir), f"step_{step}")
-    payload = {
-        "step": np.asarray(step),
-        "g": jax.device_get(serialization.to_state_dict(g_state)),
-    }
-    if d_state is not None:
-        payload["d"] = jax.device_get(
-            serialization.to_state_dict(d_state))
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, payload, force=True)
+        ckptr.save(path, _payload(step, g_state, d_state, best_psnr),
+                   force=True)
     return path
 
 
 def save_best_ckpt(ckpt_dir: str, step: int, g_state: Any,
-                   d_state: Any = None) -> str:
+                   d_state: Any = None,
+                   best_psnr: Optional[float] = None) -> str:
     """Overwrite the experiment's ``best`` checkpoint (best-validation
     copy the reference keeps alongside snapshots, SURVEY.md §5.4).
     Restorable through the same step-dir readers via its path."""
-    from flax import serialization
-
     path = os.path.join(_to_abs(ckpt_dir), "best")
-    payload = {
-        "step": np.asarray(step),
-        "g": jax.device_get(serialization.to_state_dict(g_state)),
-    }
-    if d_state is not None:
-        payload["d"] = jax.device_get(
-            serialization.to_state_dict(d_state))
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, payload, force=True)
+        ckptr.save(path, _payload(step, g_state, d_state, best_psnr),
+                   force=True)
     return path
 
 
@@ -86,9 +91,9 @@ def restore_train_state(path: str, g_template: Any,
                         d_template: Any = None):
     """Restore full train states onto template TrainStates.
 
-    Returns ``(g_state, d_state_or_None, step)``.  Raises KeyError with
-    a clear message when a discriminator state is requested but the
-    checkpoint predates the GAN phase."""
+    Returns ``(g_state, d_state_or_None, step, best_psnr_or_None)``.
+    Raises KeyError with a clear message when a discriminator state is
+    requested but the checkpoint predates the GAN phase."""
     from flax import serialization
 
     payload = restore_payload(path)
@@ -101,7 +106,9 @@ def restore_train_state(path: str, g_template: Any,
                 "during pretraining) — start the GAN phase with "
                 "--pretrained_model instead of --resume")
         d_state = serialization.from_state_dict(d_template, payload["d"])
-    return g_state, d_state, int(payload["step"])
+    best = payload.get("best_psnr")
+    return (g_state, d_state, int(payload["step"]),
+            None if best is None else float(best))
 
 
 def _is_ckpt_dir(path: str) -> bool:

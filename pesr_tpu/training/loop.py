@@ -45,24 +45,29 @@ def build_generator(opts: Opts) -> Generator:
                      num_channels=opts.num_channels,
                      res_scale=opts.res_scale,
                      img_channels=opts.img_channels,
-                     dtype=_dtype(opts.compute_dtype))
+                     dtype=_dtype(opts.compute_dtype),
+                     param_dtype=_dtype(opts.param_dtype))
 
 
 def build_discriminator(opts: Opts) -> Discriminator:
     return Discriminator(spectral_norm=opts.spectral_norm,
-                         dtype=_dtype(opts.compute_dtype))
+                         dtype=_dtype(opts.compute_dtype),
+                         param_dtype=_dtype(opts.param_dtype))
 
 
 def evaluate_psnr(opts: Opts, g_apply, g_params,
                   max_images: Optional[int] = None,
-                  tiler: Optional[TiledUpscaler] = None) -> float:
+                  tiler: Optional[TiledUpscaler] = None,
+                  samples=None) -> float:
     """Self-validation: mean Y-PSNR over the validation set.
 
-    Pass a cached ``tiler`` across evals (loop does) so only the first
-    eval pays compilation; params are hot-swapped via update_variables.
+    Pass cached ``tiler`` and ``samples`` across evals (the loop does)
+    so only the first eval pays compilation and disk decode +
+    host-bicubic LR synthesis; params hot-swap via update_variables.
     """
-    samples = datasets.load_eval_set(
-        opts, opts.valid_dataset, max_images or opts.num_valids)
+    if samples is None:
+        samples = datasets.load_eval_set(
+            opts, opts.valid_dataset, max_images or opts.num_valids)
     if tiler is None:
         tiler = TiledUpscaler(g_apply, {"params": g_params}, opts.scale,
                               opts.tile_size, opts.tile_overlap,
@@ -118,15 +123,17 @@ def run_training(opts: Opts) -> Dict[str, float]:
         step_fn = steps_lib.make_pretrain_step(opts)
 
     start_step = 0
+    best_psnr = None
     if opts.resume:
-        g_state, d_state_r, start_step = ckpt.restore_train_state(
-            opts.check_point, g_state, d_state)
+        g_state, d_state_r, start_step, best_psnr = \
+            ckpt.restore_train_state(opts.check_point, g_state, d_state)
         if d_state_r is not None:
             d_state = d_state_r
         g_state = shard_pytree_replicated(mesh, g_state)
         if d_state is not None:
             d_state = shard_pytree_replicated(mesh, d_state)
-        print(f"resumed from {opts.check_point} at step {start_step}")
+        print(f"resumed from {opts.check_point} at step {start_step}"
+              + (f" (best_psnr {best_psnr:.2f})" if best_psnr else ""))
 
     train_iter, lr_from_files = datasets.make_train_iterator(opts)
     prep = jax.jit(functools.partial(augment.prepare_train_batch,
@@ -152,18 +159,27 @@ def run_training(opts: Opts) -> Dict[str, float]:
     # signal translated to KeyboardInterrupt) checkpoints before exiting,
     # so --resume continues from the interrupted step, not the last
     # scheduled snapshot.
+    locals_box = {"g": g_state, "d": d_state, "step": global_step,
+                  "t_window": t_window, "best_psnr": best_psnr}
     try:
         _train_epochs(
             opts, mesh, rng, step_fn, prep, train_iter, logger, pending,
             eval_tiler, gan_phase, vgg_params, profile_at, start_step,
-            summary, locals_box := {"g": g_state, "d": d_state,
-                                    "step": global_step,
-                                    "t_window": t_window})
+            summary, locals_box)
     except KeyboardInterrupt:
-        path = ckpt.save_train_ckpt(opts.check_point, locals_box["step"],
-                                    locals_box["g"], locals_box["d"])
-        print(f"\n[interrupt] checkpoint saved to {path}; resume with "
-              f"--resume --check_point {opts.check_point}")
+        # The in-flight step's donated buffers may already be invalid
+        # (donate_argnums); save best-effort and point at the last good
+        # snapshot when the live state is unrecoverable.
+        try:
+            path = ckpt.save_train_ckpt(
+                opts.check_point, locals_box["step"], locals_box["g"],
+                locals_box["d"], best_psnr=locals_box.get("best_psnr"))
+            print(f"\n[interrupt] checkpoint saved to {path}; resume "
+                  f"with --resume --check_point {opts.check_point}")
+        except Exception as e:  # deleted/donated arrays
+            last = ckpt.latest_step_dir(opts.check_point)
+            print(f"\n[interrupt] live state unrecoverable ({e}); last "
+                  f"snapshot: {last}")
         raise
     g_state, d_state = locals_box["g"], locals_box["d"]
     global_step = locals_box["step"]
@@ -187,7 +203,10 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
     start_epoch = start_step // max(opts.steps_per_epoch, 1)
 
     for epoch in range(start_epoch, opts.num_epochs):
-        for _ in range(opts.steps_per_epoch):
+        # Step to the epoch BOUNDARY (not a fixed count): resuming from
+        # a mid-epoch interrupt checkpoint must not overshoot the
+        # configured num_epochs * steps_per_epoch total.
+        while global_step < (epoch + 1) * opts.steps_per_epoch:
             if global_step - start_step in profile_at:
                 if global_step - start_step == min(profile_at):
                     jax.profiler.start_trace(opts.profile_dir)
@@ -231,19 +250,24 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
 
         if (epoch + 1) % opts.eval_every == 0:
             try:
+                if "eval_samples" not in box:
+                    box["eval_samples"] = datasets.load_eval_set(
+                        opts, opts.valid_dataset, opts.num_valids)
                 val_psnr = evaluate_psnr(
                     opts, g_state.apply_fn, g_state.params,
-                    tiler=eval_tiler)
+                    tiler=eval_tiler, samples=box["eval_samples"])
                 logger.log(global_step, {"val_psnr": val_psnr},
                            prefix="val")
                 summary["val_psnr"] = val_psnr
                 # Best-PSNR checkpoint (SURVEY.md §5.4: the reference
-                # keeps a best copy alongside the periodic snapshots).
-                if val_psnr > box.get("best_psnr", -1.0):
+                # keeps a best copy alongside the periodic snapshots);
+                # the prior best survives --resume via the payload.
+                if val_psnr > (box.get("best_psnr") or -1.0):
                     box["best_psnr"] = val_psnr
                     path = ckpt.save_best_ckpt(opts.check_point,
                                                global_step, g_state,
-                                               d_state)
+                                               d_state,
+                                               best_psnr=val_psnr)
                     print(f"[ckpt] new best val_psnr={val_psnr:.2f} "
                           f"-> {path}")
                     summary["best_psnr"] = val_psnr
@@ -253,5 +277,6 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
         if (epoch + 1) % opts.snapshot_every == 0 \
                 or epoch + 1 == opts.num_epochs:
             path = ckpt.save_train_ckpt(opts.check_point, global_step,
-                                        g_state, d_state)
+                                        g_state, d_state,
+                                        best_psnr=box.get("best_psnr"))
             print(f"[ckpt] saved {path}")

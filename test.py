@@ -116,14 +116,10 @@ def main(argv=None) -> int:
             ssim_m.update(ssim)
             # Bicubic upscale baseline: the floor any trained model
             # must beat (MATLAB-exact kernel, host numpy).
-            import numpy as np
-            from pesr_tpu.ops.resize import resize_kernel_matrix
+            from pesr_tpu.data.datasets import host_bicubic_resize
             h, w = s.lr.shape[:2]
-            mh = resize_kernel_matrix(h, h * opts.scale).astype(np.float64)
-            mw = resize_kernel_matrix(w, w * opts.scale).astype(np.float64)
-            bic = np.einsum("oh,hwc->owc", mh, s.lr.astype(np.float64))
-            bic = np.einsum("ow,hwc->hoc", mw, bic)
-            bic = np.clip(np.round(bic), 0, 255).astype(np.uint8)
+            bic = host_bicubic_resize(s.lr, h * opts.scale,
+                                      w * opts.scale)
             bpsnr = calc_psnr(bic, s.hr, crop_border=opts.scale)
             bicubic_m.update(bpsnr)
             print(f"{s.name}: PSNR {psnr:.2f} dB  SSIM {ssim:.4f}  "

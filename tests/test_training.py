@@ -144,8 +144,10 @@ def test_restore_train_state_full_roundtrip(tmp_path):
                                  jax.random.key(2))
     d_t = create_discriminator_state(opts, build_discriminator(opts),
                                      jax.random.key(3))
-    g_r, d_r, at = ckpt.restore_train_state(str(tmp_path / "exp"), g_t, d_t)
+    g_r, d_r, at, best = ckpt.restore_train_state(str(tmp_path / "exp"),
+                                               g_t, d_t)
     assert at == 7
+    assert best is None  # none recorded at save time
     for a, b in zip(jax.tree_util.tree_leaves(
             jax.device_get((g.params, g.opt_state, d.params))),
             jax.tree_util.tree_leaves(
