@@ -1,0 +1,85 @@
+"""Converter coverage at the other scales + VGG layer map (SURVEY.md §4
+golden tier extensions)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn as nn
+
+from pesr_tpu.convert import convert_torch_generator
+from pesr_tpu.models import Generator
+from pesr_tpu.models.vgg import vgg_layer_names
+
+
+class _TorchGen(nn.Module):
+    def __init__(self, scale, blocks=2, ch=8):
+        super().__init__()
+        self.head = nn.Conv2d(3, ch, 3, padding=1)
+        body = []
+        for _ in range(blocks):
+            body += [nn.Conv2d(ch, ch, 3, padding=1),
+                     nn.Conv2d(ch, ch, 3, padding=1)]
+        self.body = nn.ModuleList(body)
+        self.tail = nn.Conv2d(ch, ch, 3, padding=1)
+        ups = []
+        n = {1: 0, 2: 1, 4: 2, 8: 3}[scale]
+        for _ in range(n):
+            ups += [nn.Conv2d(ch, 4 * ch, 3, padding=1),
+                    nn.PixelShuffle(2)]
+        self.ups = nn.Sequential(*ups)
+        self.out = nn.Conv2d(ch, 3, 3, padding=1)
+
+    def forward(self, x):
+        h = self.head(x)
+        y = h
+        for i in range(0, len(self.body), 2):
+            y = y + 0.1 * self.body[i + 1](torch.relu(self.body[i](y)))
+        return self.out(self.ups(self.tail(y) + h))
+
+
+@pytest.mark.parametrize("scale", [2, 8])
+def test_conversion_parity_other_scales(scale):
+    torch.manual_seed(scale)
+    tg = _TorchGen(scale)
+    tg.eval()
+    params = convert_torch_generator(tg.state_dict(), num_blocks=2,
+                                     scale=scale)
+    fg = Generator(scale=scale, num_blocks=2, num_channels=8,
+                   res_scale=0.1, dtype=jnp.float32)
+    x = np.random.default_rng(0).standard_normal((1, 6, 7, 3)).astype(
+        np.float32)
+    ours = np.asarray(fg.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(x)))
+    with torch.no_grad():
+        ref = tg(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(
+            0, 2, 3, 1).numpy()
+    assert ours.shape == (1, 6 * scale, 7 * scale, 3)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_vgg_layer_names_cover_trunk():
+    names = vgg_layer_names()
+    assert len(names) == 16                   # VGG-19 conv trunk
+    assert names["54"] == (5, 4)
+    assert names["11"] == (1, 1)
+    assert "55" not in names
+
+
+def test_pirm_evaluate_dir_smoke(tmp_path):
+    from pesr_tpu.data.datasets import SyntheticImages
+    from pesr_tpu.metrics.niqe import NiqeModel, fit_niqe_model
+    from pesr_tpu.metrics.pirm import evaluate_dir
+    from pesr_tpu.utils.image_io import imwrite_uint8
+
+    src = SyntheticImages(3, 192, 192, seed=11)
+    for i in range(2):
+        imwrite_uint8(str(tmp_path / f"im{i}.png"), src.get(i))
+    model = fit_niqe_model([SyntheticImages(4, 288, 288, seed=12).get(i)
+                            for i in range(4)])
+    result = evaluate_dir(str(tmp_path), model, verbose=False)
+    assert result["n_images"] == 2
+    for key in ("pi", "niqe", "ma"):
+        assert np.isfinite(result[key])
