@@ -115,6 +115,14 @@ def run_training(opts: Opts) -> Dict[str, float]:
         if opts.alpha_vgg > 0.0:
             vgg_params = shard_pytree_replicated(
                 mesh, init_vgg_params(opts, vgg, v_key))
+            if not opts.vgg_weights:
+                print(
+                    "WARNING: --alpha_vgg > 0 but no --vgg_weights — the "
+                    "perceptual anchor uses RANDOM VGG features, whose "
+                    "magnitudes are ~100x smaller than trained VGG54's; "
+                    "the adversarial term will dominate and PSNR can "
+                    "collapse. Provide converted VGG19 weights, or add "
+                    "--alpha_l1 1.0 as a pixel anchor for experiments.")
         step_fn = steps_lib.make_gan_step(
             opts,
             d_apply=lambda p, x: disc.apply({"params": p}, x),
