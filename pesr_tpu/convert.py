@@ -189,3 +189,53 @@ def load_generator_weights(path: str, template: Any, num_blocks: int,
                                         num_blocks, scale)
     validate_against_template(template, converted, "generator")
     return converted
+
+
+def main(argv=None) -> int:
+    """Standalone converter CLI:
+
+        python -m pesr_tpu.convert generator.pth out_ckpt \\
+            --num_blocks 32 --scale 4 [--num_channels 256]
+
+    Writes an orbax checkpoint loadable by ``test.py --model_path
+    out_ckpt`` / ``train.py --pretrained_model out_ckpt`` — convert a
+    reference torch checkpoint once instead of on every run.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("src", help="torch .pt/.pth generator checkpoint")
+    p.add_argument("dst", help="output orbax checkpoint directory")
+    p.add_argument("--num_blocks", type=int, default=32)
+    p.add_argument("--num_channels", type=int, default=256)
+    p.add_argument("--scale", type=int, default=4)
+    args = p.parse_args(argv)
+
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from pesr_tpu.models import Generator
+
+    gen = Generator(scale=args.scale, num_blocks=args.num_blocks,
+                    num_channels=args.num_channels)
+    template = jax.eval_shape(
+        lambda: gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3))))
+    params = load_generator_weights(args.src, template["params"],
+                                    args.num_blocks, args.scale)
+    payload = {"step": np.asarray(0), "g": {"params": params}}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(args.dst), payload, force=True)
+    n = sum(int(np.asarray(v).size) for v in
+            jax.tree_util.tree_leaves(params))
+    print(f"converted {args.src} -> {args.dst} ({n / 1e6:.2f} M params, "
+          f"{args.num_blocks}x{args.num_channels} x{args.scale})")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
