@@ -209,8 +209,15 @@ def niqe(img: np.ndarray, model: Optional[NiqeModel] = None) -> float:
     """NIQE score of one image (lower = more natural)."""
     model = model or _default_model()
     feats = extract_niqe_features(img)
+    feats = feats[np.isfinite(feats).all(axis=1)]
+    if feats.shape[0] == 0:
+        raise ValueError("no finite NIQE feature blocks in image")
     mu_t = feats.mean(axis=0)
-    cov_t = np.cov(feats.T)
+    # A single-block image (or fully degenerate blocks) has no sample
+    # covariance; MATLAB's formula then reduces to pooling against the
+    # pristine covariance alone.
+    cov_t = (np.cov(feats.T) if feats.shape[0] > 1
+             else np.zeros_like(model.cov))
     pooled = (model.cov + cov_t) / 2.0
     diff = model.mu - mu_t
     return float(np.sqrt(diff @ np.linalg.pinv(pooled) @ diff))

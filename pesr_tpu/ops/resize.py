@@ -9,7 +9,8 @@ MATLAB "contributions" algorithm exactly:
 
   * cubic kernel with a = -0.5,
   * kernel support widened by 1/scale when downscaling (antialias),
-  * replicated (clamped) edges with per-row weight aggregation,
+  * symmetric (mirrored) edges — MATLAB's ``aux = [1:L, L:-1:1]`` index
+    folding — with per-row weight aggregation,
   * separable passes over H then W.
 
 Because output/input sizes are static under jit, the sampling weights are
@@ -48,8 +49,8 @@ def _contributions(in_size: int, out_size: int,
                    antialias: bool = True) -> Tuple[np.ndarray, np.ndarray]:
     """MATLAB imresize 'contributions': per-output-pixel indices+weights.
 
-    Returns (indices [out, P] int32 clamped to the input range,
-             weights [out, P] float64 row-normalized).
+    Returns (indices [out, P] int32 folded into the input range by
+             symmetric mirroring, weights [out, P] float64 row-normalized).
     """
     scale = out_size / in_size
     kernel_width = 4.0
@@ -72,9 +73,14 @@ def _contributions(in_size: int, out_size: int,
         weights = _cubic(dist)
     weights /= np.sum(weights, axis=1, keepdims=True)
 
-    # Replicated edges: clamp indices; duplicate columns keep their weights
-    # and the matmul form (below) sums them, matching MATLAB's aggregation.
-    indices = np.clip(indices, 0, in_size - 1)
+    # Symmetric (mirrored) edges: MATLAB folds out-of-range taps with
+    # aux = [1:L, L:-1:1]; indices = aux(mod(idx-1, 2L)+1).  0-based
+    # equivalent below.  Duplicate columns keep their weights and the
+    # matmul form (resize_kernel_matrix) sums them, matching MATLAB's
+    # aggregation.
+    aux = np.concatenate(
+        [np.arange(in_size), np.arange(in_size - 1, -1, -1)])
+    indices = aux[np.mod(indices, aux.size)]
 
     # Drop all-zero weight columns (MATLAB does the same compaction).
     nz = ~np.all(weights == 0, axis=0)

@@ -32,7 +32,10 @@ def _reference_resize_1d(signal: np.ndarray, out_size: int) -> np.ndarray:
         else:
             w = _cubic(u - idx)
         w = w / w.sum()
-        idx = np.clip(idx, 0, in_size - 1)
+        # MATLAB symmetric mirroring: aux = [1:L, L:-1:1].
+        aux = np.concatenate(
+            [np.arange(in_size), np.arange(in_size - 1, -1, -1)])
+        idx = aux[np.mod(idx, aux.size)]
         out[i] = np.tensordot(w, signal[idx], axes=(0, 0))
     return out
 
@@ -65,8 +68,8 @@ def test_downscale_matches_torch_antialias_bicubic_interior():
     Interior pixels must agree with torch's antialiased bicubic to float
     tolerance.  Borders are excluded by design: torch/PIL renormalize
     over in-bounds taps at image edges, while MATLAB (our target
-    semantics, used to build DIV2K) replicates the edge pixel — the two
-    conventions legitimately differ in a ~2-pixel band.
+    semantics, used to build DIV2K) mirrors the image symmetrically —
+    the two conventions legitimately differ in a ~2-pixel band.
     """
     rng = np.random.default_rng(2)
     img = rng.random((1, 64, 48, 3)).astype(np.float32)
@@ -80,6 +83,51 @@ def test_downscale_matches_torch_antialias_bicubic_interior():
 
     np.testing.assert_allclose(ours[:, 2:-2, 2:-2], ref[:, 2:-2, 2:-2],
                                atol=1e-5)
+
+
+def test_border_pixels_use_symmetric_mirroring():
+    """Border taps must fold symmetrically (MATLAB), not clamp.
+
+    Oracle: extend the signal to infinity by symmetric reflection
+    (s[-1-i] = s[i], s[L+i] = s[L-1-i]) and evaluate the raw
+    contributions formula for the first/last output pixels directly.
+    A clamped implementation gives a measurably different border value
+    (~6.8/255 worst case on x4 antialiased downscale per the round-1
+    advisor), so this pins the convention.
+    """
+    rng = np.random.default_rng(7)
+    in_size, out_size = 64, 16     # x4 antialiased downscale
+    sig = rng.random(in_size)
+
+    def ext(i):
+        # Infinite symmetric extension, period 2*in_size.
+        i = np.mod(i, 2 * in_size)
+        return np.where(i < in_size, i, 2 * in_size - 1 - i)
+
+    scale = out_size / in_size
+    kw = 4.0 / scale
+    expected = []
+    for i in (0, out_size - 1):
+        u = (i + 0.5) / scale - 0.5
+        left = int(np.floor(u - kw / 2))
+        idx = np.arange(left, left + int(np.ceil(kw)) + 2)
+        w = scale * _cubic(scale * (u - idx))
+        w = w / w.sum()
+        expected.append(np.dot(w, sig[ext(idx)]))
+
+    out = resize_kernel_matrix(in_size, out_size) @ sig
+    np.testing.assert_allclose([out[0], out[-1]], expected, atol=1e-6)
+
+    # And prove the convention matters: a clamped version must differ.
+    clamped = []
+    for i in (0,):
+        u = (i + 0.5) / scale - 0.5
+        left = int(np.floor(u - kw / 2))
+        idx = np.arange(left, left + int(np.ceil(kw)) + 2)
+        w = scale * _cubic(scale * (u - idx))
+        w = w / w.sum()
+        clamped.append(np.dot(w, sig[np.clip(idx, 0, in_size - 1)]))
+    assert abs(clamped[0] - expected[0]) > 1e-4
 
 
 def test_shapes_2d_3d_4d():
