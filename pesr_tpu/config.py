@@ -49,7 +49,8 @@ class Opts:
     num_valids: int = 10
     patch_size: int = 48          # LR patch side; HR side = patch_size*scale
     batch_size: int = 16
-    num_repeats: int = 20         # epoch length multiplier over the image list
+    num_repeats: int = 20         # epoch = image list x num_repeats
+                                  # (feeds steps_per_epoch derivation)
 
     # --- training (SURVEY.md §2 item 7; BASELINE.json:8-9) ---
     phase: str = "pretrain"       # "pretrain" (L1 only) | "train" (GAN)
@@ -57,7 +58,9 @@ class Opts:
     learning_rate: float = 1e-4
     lr_step: int = 120            # epochs between x0.5 LR decays
     num_epochs: int = 300
-    steps_per_epoch: int = 1000
+    # 0 = derive ceil(num_images * num_repeats / batch_size) from the
+    # train set (reference epoch semantics: DIV2K 800 x 20 / 16 = 1000).
+    steps_per_epoch: int = 0
     seed: int = 0
 
     # --- GAN losses (SURVEY.md §2 item 6) ---
@@ -80,6 +83,7 @@ class Opts:
     snapshot_every: int = 10      # epochs between checkpoint snapshots
     log_every: int = 50           # steps between scalar log lines
     eval_every: int = 1           # epochs between self-validation evals
+    eval_pi: bool = True          # PIRM PI (NIQE+Ma) in self-validation
     resume: bool = False          # resume full G/D/optimizer state from
                                   # the latest step under check_point
     profile_dir: str = ""         # jax.profiler trace dir (traces a few
@@ -88,7 +92,11 @@ class Opts:
     # --- inference (SURVEY.md §3.3, §5.7; BASELINE.json:10) ---
     model_path: str = ""
     output_dir: str = "results"
-    tile_size: int = 96           # LR tile core side for tiled inference
+    # LR tile core side for tiled inference: int, 0 = whole-image (the
+    # reference's mode), or "auto" = rectangular grid minimizing halo
+    # waste under the VMEM-safe area budget (test.py CLI default; the
+    # dataclass default stays an int for the training-eval tiler).
+    tile_size: object = 96
     tile_overlap: int = 8         # LR halo on each side
     infer_batch: int = 8          # tiles per jitted forward
     self_ensemble: bool = False   # x8 geometric TTA at inference
@@ -97,8 +105,12 @@ class Opts:
     compute_dtype: str = "bfloat16"   # activations/conv compute dtype
     param_dtype: str = "float32"
     use_pallas: bool = False          # fused Pallas kernels (XLA fallback)
+    fold: bool = True                 # folded upsampler at inference
+                                      # (exact through tiling; models/fold.py)
     quant: str = "none"               # none | int8 (PTQ inference path)
     mesh_shape: str = ""              # e.g. "8" or "" = all local devices
+    distributed: bool = False         # multi-host: jax.distributed bring-up
+                                      # before backend use (DCN; SURVEY §2.11)
     vgg_weights: str = ""             # converted VGG19 weights (see convert.py)
 
     @property
@@ -116,6 +128,13 @@ class Opts:
 # --------------------------------------------------------------------------
 # argparse surface
 # --------------------------------------------------------------------------
+
+
+def _tile_size(value: str):
+    """--tile_size parser: int or the literal "auto"."""
+    if value == "auto":
+        return value
+    return int(value)
 
 
 def _add_bool_flag(parser: argparse.ArgumentParser, name: str, default: bool,
@@ -167,7 +186,11 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
         g.add_argument("--learning_rate", type=float, default=d.learning_rate)
         g.add_argument("--lr_step", type=int, default=d.lr_step)
         g.add_argument("--num_epochs", type=int, default=d.num_epochs)
-        g.add_argument("--steps_per_epoch", type=int, default=d.steps_per_epoch)
+        g.add_argument("--steps_per_epoch", type=int,
+                       default=d.steps_per_epoch,
+                       help="steps per epoch; 0 = derive ceil(num_images"
+                            " * num_repeats / batch_size), the reference"
+                            " epoch semantics")
         g.add_argument("--seed", type=int, default=d.seed)
 
         g = p.add_argument_group("losses")
@@ -190,6 +213,8 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
         g.add_argument("--snapshot_every", type=int, default=d.snapshot_every)
         g.add_argument("--log_every", type=int, default=d.log_every)
         g.add_argument("--eval_every", type=int, default=d.eval_every)
+        _add_bool_flag(g, "eval_pi", d.eval_pi,
+                       "PIRM perceptual index in self-validation")
         _add_bool_flag(g, "resume", d.resume,
                        "resume G/D/optimizer state from check_point")
         g.add_argument("--profile_dir", type=str, default=d.profile_dir)
@@ -197,7 +222,10 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
         g = p.add_argument_group("inference")
         g.add_argument("--model_path", type=str, default=d.model_path)
         g.add_argument("--output_dir", type=str, default=d.output_dir)
-        g.add_argument("--tile_size", type=int, default=d.tile_size)
+        g.add_argument("--tile_size", type=_tile_size, default="auto",
+                       help='LR tile side, 0 = whole-image (reference '
+                            'mode), or "auto" (fastest: device-resident '
+                            'rectangular grid)')
         g.add_argument("--tile_overlap", type=int, default=d.tile_overlap)
         g.add_argument("--infer_batch", type=int, default=d.infer_batch)
         _add_bool_flag(g, "self_ensemble", d.self_ensemble,
@@ -208,10 +236,15 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     g.add_argument("--param_dtype", type=str, default=d.param_dtype)
     _add_bool_flag(g, "use_pallas", d.use_pallas, "use fused Pallas kernels")
+    _add_bool_flag(g, "fold", d.fold,
+                   "fold the linear upsampler+out chain into one conv "
+                   "at inference (tiled modes; exact on the interior)")
     g.add_argument("--quant", type=str, default=d.quant,
                    choices=["none", "int8"],
                    help="post-training-quantized inference path")
     g.add_argument("--mesh_shape", type=str, default=d.mesh_shape)
+    _add_bool_flag(g, "distributed", d.distributed,
+                   "multi-host cluster bring-up (jax.distributed)")
     g.add_argument("--vgg_weights", type=str, default=d.vgg_weights)
     return p
 

@@ -295,6 +295,17 @@ def _resolve_train_source(opts) -> object:
 _NATIVE_CACHE_BYTES = 12 << 30
 
 
+def train_num_images(opts) -> int:
+    """Number of images in the training corpus (listing only, no decode).
+
+    Feeds the reference's epoch-length semantics: one epoch visits the
+    image list ``num_repeats`` times, so steps_per_epoch =
+    ceil(num_images * num_repeats / batch_size) when --steps_per_epoch
+    is 0/unset (SURVEY.md §2.5 [U-high]; DIV2K 800 x 20 / 16 = 1000).
+    """
+    return len(_resolve_train_source(opts))
+
+
 def make_train_iterator(opts) -> Tuple[Iterator, bool]:
     """Build the prefetched train-batch iterator.
 

@@ -78,15 +78,24 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(_put, batch)
 
 
-def initialize_distributed() -> None:
+def initialize_distributed(required: bool = False) -> bool:
     """Multi-host bring-up: call once per process BEFORE any backend use
     on multi-host slices (reads the standard cluster env vars: coordinator
-    address, process id/count).  Safe to call unconditionally — on
-    single-host setups with no coordinator configured it is a no-op."""
+    address, process id/count).  Returns True when a multi-process
+    runtime came up.
+
+    ``required=False`` (default) is safe to call unconditionally — on
+    single-host setups with no coordinator configured it is a no-op.
+    ``required=True`` (the ``--distributed`` flag) re-raises so a
+    mis-configured cluster fails loudly instead of silently training
+    single-host."""
     try:
         jax.distributed.initialize()
+        return True
     except Exception:
-        pass  # single-host / already initialized / no coordinator: fine
+        if required:
+            raise
+        return False  # single-host / already initialized: fine
 
 
 def shard_pytree_replicated(mesh: Mesh, tree: Any) -> Any:

@@ -25,10 +25,17 @@ class GanTrainState(train_state.TrainState):
 
 
 def make_lr_schedule(opts: Opts) -> optax.Schedule:
-    """Step-decay: LR halves every ``lr_step`` epochs (staircase)."""
+    """Step-decay: LR halves every ``lr_step`` epochs (staircase).
+
+    ``steps_per_epoch == 0`` means "derive from the dataset"; the
+    training driver resolves it before creating states (loop.py), so a
+    0 reaching here is a direct caller without a dataset (tests, dryrun)
+    — fall back to the reference's canonical 1000 steps/epoch.
+    """
+    spe = opts.steps_per_epoch if opts.steps_per_epoch > 0 else 1000
     return optax.exponential_decay(
         init_value=opts.learning_rate,
-        transition_steps=max(1, opts.lr_step * opts.steps_per_epoch),
+        transition_steps=max(1, opts.lr_step * spe),
         decay_rate=0.5,
         staircase=True,
     )

@@ -26,6 +26,14 @@ def main(argv=None) -> int:
     from pesr_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     opts = opts_from_args(argv, mode="train")
+    if opts.distributed:
+        # Multi-host bring-up must precede any backend use (SURVEY.md
+        # §2.11); explicit flag -> mis-configured clusters fail loudly.
+        import jax
+        from pesr_tpu import parallel
+        parallel.initialize_distributed(required=True)
+        print(f"distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}")
     summary = run_training(opts)
     print("[done] " + json.dumps({k: round(v, 4)
                                   for k, v in summary.items()}))
