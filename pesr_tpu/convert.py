@@ -132,14 +132,114 @@ def convert_torch_vgg19(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     VGG19Features params (models/vgg.py naming)."""
     convs = extract_conv_pairs(state_dict)
     # Classifier weights are 2-D and already skipped; some checkpoints
-    # prefix with "features." — order is what matters.
-    if len(convs) < len(_VGG19_LAYERS):
+    # prefix with "features." — order is what matters.  The count must
+    # be EXACT: extra 4-D convs would silently shift the positional
+    # mapping onto the wrong trunk layers (many VGG stages share shapes,
+    # so template validation alone cannot catch it).
+    if len(convs) != len(_VGG19_LAYERS):
         raise ValueError(
-            f"need {len(_VGG19_LAYERS)} convs for VGG19, found "
-            f"{len(convs)}")
+            f"need exactly {len(_VGG19_LAYERS)} 4-D convs for the VGG19 "
+            f"trunk, found {len(convs)}: {[c[0] for c in convs]}")
     params: Dict[str, Any] = {}
     for name, (key, w, b) in zip(_VGG19_LAYERS, convs):
         params[name] = {"kernel": _oihw_to_hwio(w), "bias": b}
+    return params
+
+
+def _extract_1d_scale_bias(state_dict: Dict[str, Any]
+                           ) -> List[Tuple[str, np.ndarray, np.ndarray]]:
+    """(name, weight, bias) for 1-D weight entries in registration order
+    — torch BatchNorm affine params.  running_mean/var/num_batches are
+    intentionally dropped: the TPU discriminator normalizes with batch
+    statistics only (models/discriminator.py BatchStatNorm) and the
+    reference never runs D in eval mode, so running stats are dead."""
+    out = []
+    for key, val in state_dict.items():
+        if not key.endswith("weight"):
+            continue
+        w = _as_numpy(val)
+        if w.ndim != 1:
+            continue
+        bkey = key[: -len("weight")] + "bias"
+        if bkey not in state_dict:
+            raise ValueError(f"norm {key} has no matching bias {bkey}")
+        out.append((key, w, _as_numpy(state_dict[bkey])))
+    return out
+
+
+def _extract_dense_pairs(state_dict: Dict[str, Any]
+                         ) -> List[Tuple[str, np.ndarray, np.ndarray]]:
+    """(name, [out,in] weight, bias) for 2-D weight entries in order."""
+    out = []
+    for key, val in state_dict.items():
+        if not key.endswith("weight"):
+            continue
+        w = _as_numpy(val)
+        if w.ndim != 2:
+            continue
+        bkey = key[: -len("weight")] + "bias"
+        if bkey not in state_dict:
+            raise ValueError(f"dense {key} has no matching bias {bkey}")
+        out.append((key, w, _as_numpy(state_dict[bkey])))
+    return out
+
+
+def convert_torch_discriminator(
+        state_dict: Dict[str, Any], hr_size: int,
+        channel_schedule: Sequence[int] = (64, 128, 256, 512),
+) -> Dict[str, Any]:
+    """Positionally map an SRGAN-style torch discriminator state_dict
+    onto the flax Discriminator tree (models/discriminator.py naming).
+
+    Expected registration order (the SRGAN/PESR convention): 8 convs
+    {conv stride1, conv stride2} x 4 channel stages, BatchNorm after
+    every conv except the first (7), then dense(1024) + dense(1).
+
+    ``hr_size`` is the training HR patch side the torch head was built
+    for: the first dense layer's input flattens NCHW in torch but NHWC
+    here, so its weight must be permuted with the known (C, H, W) =
+    (512, hr_size/16, hr_size/16) feature-map geometry.
+    """
+    n_stages = len(channel_schedule)
+    convs = extract_conv_pairs(state_dict)
+    if len(convs) != 2 * n_stages:
+        raise ValueError(
+            f"expected {2 * n_stages} discriminator convs, found "
+            f"{len(convs)}: {[c[0] for c in convs]}")
+    bns = _extract_1d_scale_bias(state_dict)
+    if len(bns) != 2 * n_stages - 1:
+        raise ValueError(
+            f"expected {2 * n_stages - 1} norm layers, found {len(bns)}: "
+            f"{[b[0] for b in bns]}")
+    dense = _extract_dense_pairs(state_dict)
+    if len(dense) != 2:
+        raise ValueError(f"expected 2 dense layers, found {len(dense)}: "
+                         f"{[d[0] for d in dense]}")
+
+    params: Dict[str, Any] = {}
+    conv_names = ["conv0", "conv0s"]
+    bn_names = ["bn0"]
+    for i in range(1, n_stages):
+        conv_names += [f"conv{i}", f"conv{i}s"]
+        bn_names += [f"bn{i}a", f"bn{i}b"]
+    for name, (key, w, b) in zip(conv_names, convs):
+        params[name] = {"kernel": _oihw_to_hwio(w), "bias": b}
+    for name, (key, w, b) in zip(bn_names, bns):
+        params[name] = {"scale": w, "bias": b}
+
+    # Dense head: torch flattens (C, H, W), flax flattens (H, W, C).
+    c = channel_schedule[-1]
+    hw = hr_size // (2 ** n_stages)
+    (k0, w0, b0), (k1, w1, b1) = dense
+    if w0.shape[1] != c * hw * hw:
+        raise ValueError(
+            f"dense {k0} expects flat dim {w0.shape[1]}, but hr_size="
+            f"{hr_size} gives {c}x{hw}x{hw}={c * hw * hw}")
+    w0 = (w0.reshape(w0.shape[0], c, hw, hw)
+          .transpose(0, 2, 3, 1)
+          .reshape(w0.shape[0], -1))
+    params["fc0"] = {"kernel": w0.T, "bias": b0}
+    params["fc1"] = {"kernel": w1.T, "bias": b1}
     return params
 
 
@@ -191,24 +291,42 @@ def load_generator_weights(path: str, template: Any, num_blocks: int,
     return converted
 
 
+def load_discriminator_weights(path: str, template: Any,
+                               hr_size: int) -> Any:
+    """Reference GAN-state import: torch SRGAN-style discriminator
+    checkpoint -> flax params validated against the template tree."""
+    converted = convert_torch_discriminator(load_torch_state_dict(path),
+                                            hr_size)
+    validate_against_template(template, converted, "discriminator")
+    return converted
+
+
 def main(argv=None) -> int:
     """Standalone converter CLI:
 
         python -m pesr_tpu.convert generator.pth out_ckpt \\
             --num_blocks 32 --scale 4 [--num_channels 256]
+        python -m pesr_tpu.convert D.pth out_d --kind discriminator \\
+            --hr_size 192
+        python -m pesr_tpu.convert vgg19.pth out_vgg --kind vgg19
 
     Writes an orbax checkpoint loadable by ``test.py --model_path
-    out_ckpt`` / ``train.py --pretrained_model out_ckpt`` — convert a
-    reference torch checkpoint once instead of on every run.
+    out_ckpt`` / ``train.py --pretrained_model out_ckpt`` (generator
+    kind) — convert a reference torch checkpoint once instead of on
+    every run.
     """
     import argparse
 
     p = argparse.ArgumentParser(description=main.__doc__)
-    p.add_argument("src", help="torch .pt/.pth generator checkpoint")
+    p.add_argument("src", help="torch .pt/.pth checkpoint")
     p.add_argument("dst", help="output orbax checkpoint directory")
+    p.add_argument("--kind", default="generator",
+                   choices=["generator", "discriminator", "vgg19"])
     p.add_argument("--num_blocks", type=int, default=32)
     p.add_argument("--num_channels", type=int, default=256)
     p.add_argument("--scale", type=int, default=4)
+    p.add_argument("--hr_size", type=int, default=192,
+                   help="discriminator: HR patch side its head expects")
     args = p.parse_args(argv)
 
     import os
@@ -217,21 +335,41 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
-    from pesr_tpu.models import Generator
+    if args.kind == "generator":
+        from pesr_tpu.models import Generator
+        gen = Generator(scale=args.scale, num_blocks=args.num_blocks,
+                        num_channels=args.num_channels)
+        template = jax.eval_shape(
+            lambda: gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3))))
+        params = load_generator_weights(args.src, template["params"],
+                                        args.num_blocks, args.scale)
+        payload = {"step": np.asarray(0), "g": {"params": params}}
+        desc = f"{args.num_blocks}x{args.num_channels} x{args.scale}"
+    elif args.kind == "discriminator":
+        from pesr_tpu.models import Discriminator
+        disc = Discriminator()
+        template = jax.eval_shape(lambda: disc.init(
+            jax.random.key(0),
+            jnp.zeros((1, args.hr_size, args.hr_size, 3))))
+        params = load_discriminator_weights(args.src, template["params"],
+                                            args.hr_size)
+        payload = {"step": np.asarray(0), "d": {"params": params}}
+        desc = f"SRGAN-D hr={args.hr_size}"
+    else:
+        from pesr_tpu.models import VGG19Features
+        vgg = VGG19Features()
+        template = jax.eval_shape(lambda: vgg.init(
+            jax.random.key(0), jnp.zeros((1, 32, 32, 3))))
+        params = load_vgg_weights(args.src, template["params"])
+        payload = {"vgg": {"params": params}}
+        desc = "VGG19 trunk"
 
-    gen = Generator(scale=args.scale, num_blocks=args.num_blocks,
-                    num_channels=args.num_channels)
-    template = jax.eval_shape(
-        lambda: gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3))))
-    params = load_generator_weights(args.src, template["params"],
-                                    args.num_blocks, args.scale)
-    payload = {"step": np.asarray(0), "g": {"params": params}}
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.abspath(args.dst), payload, force=True)
     n = sum(int(np.asarray(v).size) for v in
             jax.tree_util.tree_leaves(params))
     print(f"converted {args.src} -> {args.dst} ({n / 1e6:.2f} M params, "
-          f"{args.num_blocks}x{args.num_channels} x{args.scale})")
+          f"{desc})")
     return 0
 
 

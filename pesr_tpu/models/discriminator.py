@@ -93,10 +93,15 @@ class SNConv(nn.Module):
         # Compute dtype throughout (MXU accumulates bf16 convs in f32
         # internally); preferred_element_type is avoided because mixed
         # fwd/cotangent dtypes break the conv VJP.
+        # Explicit (1,1) padding = torch Conv2d(padding=1) semantics.
+        # For stride 2 on even extents XLA's "SAME" pads (0,1) instead,
+        # shifting the sample grid by one pixel vs torch — explicit pad
+        # keeps converted reference discriminators numerically exact
+        # (convert.convert_torch_discriminator).
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(self.strides, self.strides),
-            padding="SAME",
+            padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return y + bias.astype(self.dtype)

@@ -89,6 +89,93 @@ def test_generator_conversion_rejects_wrong_depth(torch_gen):
         convert_torch_generator(torch_gen.state_dict(), BLOCKS + 1, SCALE)
 
 
+class TorchDiscriminator(nn.Module):
+    """SRGAN-style torch discriminator mirroring the reconstructed
+    reference registration order (SURVEY.md §2 item 3): {stride-1,
+    stride-2} conv pairs over 64->128->256->512, BatchNorm after every
+    conv but the first, dense(1024) -> dense(1)."""
+
+    def __init__(self, hr=32, chs=(4, 8, 8, 8)):
+        super().__init__()
+        layers = [nn.Conv2d(3, chs[0], 3, 1, 1), nn.LeakyReLU(0.2)]
+        layers += [nn.Conv2d(chs[0], chs[0], 3, 2, 1),
+                   nn.BatchNorm2d(chs[0]), nn.LeakyReLU(0.2)]
+        in_ch = chs[0]
+        for ch in chs[1:]:
+            layers += [nn.Conv2d(in_ch, ch, 3, 1, 1),
+                       nn.BatchNorm2d(ch), nn.LeakyReLU(0.2)]
+            layers += [nn.Conv2d(ch, ch, 3, 2, 1),
+                       nn.BatchNorm2d(ch), nn.LeakyReLU(0.2)]
+            in_ch = ch
+        self.features = nn.Sequential(*layers)
+        flat = chs[-1] * (hr // 16) ** 2
+        self.fc = nn.Sequential(nn.Linear(flat, 16), nn.LeakyReLU(0.2),
+                                nn.Linear(16, 1))
+
+    def forward(self, x):
+        return self.fc(self.features(x).flatten(1))
+
+
+def test_discriminator_conversion_forward_parity():
+    """Torch D (batch-stat mode) vs flax D with converted weights —
+    pins the conv/BN positional mapping AND the NCHW-vs-NHWC flatten
+    permutation of the dense head (convert.convert_torch_discriminator).
+    """
+    from pesr_tpu.convert import convert_torch_discriminator
+    from pesr_tpu.models import Discriminator
+
+    hr, chs = 32, (4, 8, 8, 8)
+    torch.manual_seed(3)
+    td = TorchDiscriminator(hr=hr, chs=chs)
+    # Randomize BN affine params (default 1/0 would hide mapping bugs).
+    with torch.no_grad():
+        for m in td.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.3, 0.3)
+    td.train()  # batch-statistics mode = our BatchStatNorm semantics
+
+    params = convert_torch_discriminator(td.state_dict(), hr,
+                                         channel_schedule=chs)
+
+    fd = Discriminator(channel_schedule=chs, dense_features=16,
+                       dtype=jnp.float32)
+    template = fd.init(jax.random.key(0),
+                       jnp.zeros((2, hr, hr, 3)))["params"]
+    validate_against_template(template, params, "discriminator")
+
+    x = np.random.default_rng(4).standard_normal((4, hr, hr, 3)).astype(
+        np.float32)
+    ours = np.asarray(fd.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(x)))
+    with torch.no_grad():
+        ref = td(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=5e-5)
+
+
+def test_discriminator_conversion_rejects_wrong_geometry():
+    from pesr_tpu.convert import convert_torch_discriminator
+    torch.manual_seed(3)
+    td = TorchDiscriminator(hr=32, chs=(4, 8, 8, 8))
+    with pytest.raises(ValueError, match="flat dim"):
+        convert_torch_discriminator(td.state_dict(), 64,
+                                    channel_schedule=(4, 8, 8, 8))
+
+
+def test_vgg19_conversion_rejects_extra_convs():
+    """Extra 4-D convs must error, not silently truncate (round-1
+    advisor finding on convert.py)."""
+    torch.manual_seed(1)
+    layers, in_ch = [], 3
+    for ch in [4] * 17:  # one conv too many
+        layers += [nn.Conv2d(in_ch, ch, 3, padding=1)]
+        in_ch = ch
+    trunk = nn.Sequential(*layers)
+    with pytest.raises(ValueError, match="exactly 16"):
+        convert_torch_vgg19(trunk.state_dict())
+
+
 def test_vgg19_conversion_forward_parity():
     """Small-channel VGG19-shaped torch trunk -> converted flax VGG must
     match torch forward at conv5_4 pre-activation."""
