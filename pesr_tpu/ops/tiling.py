@@ -202,6 +202,33 @@ class BatchTiledUpscaler:
         canvas = np.asarray(self.upscale_batch_device(imgs_u8))
         return canvas[:, :h * self.scale, :w * self.scale]
 
+    def _chunks(self, imgs, batch_size: int):
+        """Group image indices by shape, then split into device batches
+        (one compile per distinct (chunk_len, H, W))."""
+        groups: dict = {}
+        for idx, im in enumerate(imgs):
+            groups.setdefault(im.shape, []).append(idx)
+        for shape, idxs in groups.items():
+            for start in range(0, len(idxs), batch_size):
+                yield shape, idxs[start:start + batch_size]
+
+    def warmup_many(self, imgs, batch_size: int = 8) -> None:
+        """Compile every (batch, shape) program upscale_many will hit —
+        call before timing loops (mirrors TiledUpscaler.warmup)."""
+        for shape, chunk in self._chunks(imgs, batch_size):
+            z = np.zeros((len(chunk),) + tuple(shape), np.uint8)
+            self.upscale_batch_device(z).block_until_ready()
+
+    def upscale_many(self, imgs, batch_size: int = 8) -> list:
+        """Upscale a list of HWC uint8 images of possibly mixed sizes,
+        device-resident per same-shape batch; order is preserved."""
+        results: list = [None] * len(imgs)
+        for shape, chunk in self._chunks(imgs, batch_size):
+            out = self.upscale_batch(np.stack([imgs[i] for i in chunk]))
+            for k, i in enumerate(chunk):
+                results[i] = out[k]
+        return results
+
 
 def _pad_replicate(img: np.ndarray, pads: Tuple[int, int, int, int]
                    ) -> np.ndarray:

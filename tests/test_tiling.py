@@ -81,6 +81,39 @@ def test_batch_tiled_matches_host_tiled():
         np.testing.assert_array_equal(got[i], host.upscale(imgs[i]))
 
 
+def test_batch_tiled_upscale_many_mixed_sizes():
+    """test.py's production path: upscale_many groups mixed-size images
+    by shape, batches device-resident, and preserves input order; every
+    output must equal the host-stitch engine's result exactly."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+
+    variables = _gen_params()
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 255, shp, dtype=np.uint8)
+            for shp in [(30, 44, 3), (24, 24, 3), (30, 44, 3),
+                        (24, 24, 3), (30, 44, 3)]]
+    host = TiledUpscaler(GEN.apply, variables, SCALE, tile_size=16,
+                         overlap=8, batch_size=2)
+    dev = BatchTiledUpscaler(GEN.apply, variables, SCALE, tile_size=16,
+                             overlap=8)
+    dev.warmup_many(imgs, batch_size=2)
+    got = dev.upscale_many(imgs, batch_size=2)
+    assert len(got) == len(imgs)
+    for im, sr in zip(imgs, got):
+        assert sr.shape == (im.shape[0] * SCALE, im.shape[1] * SCALE, 3)
+        np.testing.assert_array_equal(sr, host.upscale(im))
+
+
+def test_tile_size_flag_parses_auto_int_and_zero():
+    from pesr_tpu.config import opts_from_args
+    assert opts_from_args((), mode="test").tile_size == "auto"
+    assert opts_from_args(("--tile_size", "64"),
+                          mode="test").tile_size == 64
+    assert opts_from_args(("--tile_size", "0"), mode="test").tile_size == 0
+    assert opts_from_args(("--tile_size", "auto"),
+                          mode="test").tile_size == "auto"
+
+
 def test_self_ensemble_shape_and_equivariance():
     """TTA output keeps shape, and averaging over the full dihedral
     group makes the estimator group-EQUIVARIANT: ensembling a transposed
