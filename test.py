@@ -64,11 +64,14 @@ def main(argv=None) -> int:
     samples = load_eval_set(opts)
     variables = {"params": params}
     if opts.quant == "int8":
-        from pesr_tpu.models.quant_apply import (make_int8_apply,
-                                                 quantize_generator_params)
-        variables = {"params": quantize_generator_params(params)}
-        apply_fn = make_int8_apply(opts.scale, opts.res_scale)
-        print("using int8 PTQ inference path")
+        # W8A8 with static per-channel scales, calibrated on the eval
+        # set's own LR tiles (no labels needed) — models/quant_apply.py.
+        from pesr_tpu.models.quant_apply import (default_calib_tiles,
+                                                 int8_inference)
+        tiles = default_calib_tiles([s.lr for s in samples])
+        apply_fn, variables = int8_inference(params, opts.scale, tiles,
+                                             opts.res_scale)
+        print("using int8 W8A8 inference path (calibrated)")
     elif opts.use_pallas:
         from pesr_tpu.models.pallas_apply import make_pallas_apply
         apply_fn = make_pallas_apply(opts.scale, opts.res_scale)
