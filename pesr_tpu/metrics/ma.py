@@ -73,10 +73,31 @@ def ma_score_approx(img: np.ndarray, block: int = 32) -> float:
     return float(10.0 * (0.6 * s_hf + 0.4 * s_sp))
 
 
+_REAL_MODEL = None
+_REAL_MODEL_CHECKED = False
+
+
+def _real_model():
+    """Lazily load the real Ma regressor ($PESR_MA_MODEL) once — the
+    full feature pipeline lives in metrics/ma_features.py and activates
+    with zero code changes the moment converted weights exist."""
+    global _REAL_MODEL, _REAL_MODEL_CHECKED
+    if not _REAL_MODEL_CHECKED:
+        from pesr_tpu.metrics.ma_features import load_ma_model
+        _REAL_MODEL = load_ma_model()
+        _REAL_MODEL_CHECKED = True
+    return _REAL_MODEL
+
+
 def ma_score(img: np.ndarray,
              predictor: Optional[Callable[[np.ndarray], float]] = None
              ) -> float:
-    """Ma score with pluggable real regressor."""
+    """Ma score: explicit ``predictor`` > loaded real regressor
+    ($PESR_MA_MODEL npz, see metrics/ma_features.py) > documented
+    approximation."""
     if predictor is not None:
         return float(predictor(img))
+    model = _real_model()
+    if model is not None:
+        return float(model(img))
     return ma_score_approx(img)
