@@ -53,7 +53,9 @@ class Opts:
                                   # (feeds steps_per_epoch derivation)
 
     # --- training (SURVEY.md §2 item 7; BASELINE.json:8-9) ---
-    phase: str = "pretrain"       # "pretrain" (L1 only) | "train" (GAN)
+    phase: str = "pretrain"       # "pretrain" (L1) | "train" (GAN) |
+                                  # "qat" (L1 with inference-sim W8A8
+                                  # fake-quant forward, models/qat.py)
     pretrained_model: str = ""
     learning_rate: float = 1e-4
     lr_step: int = 120            # epochs between x0.5 LR decays
@@ -180,7 +182,7 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
     if mode == "train":
         g = p.add_argument_group("training")
         g.add_argument("--phase", type=str, default=d.phase,
-                       choices=["pretrain", "train"])
+                       choices=["pretrain", "train", "qat"])
         g.add_argument("--pretrained_model", type=str,
                        default=d.pretrained_model)
         g.add_argument("--learning_rate", type=float, default=d.learning_rate)

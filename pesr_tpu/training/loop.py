@@ -170,6 +170,14 @@ def run_training(opts: Opts) -> Dict[str, float]:
             d_apply=lambda p, x: disc.apply({"params": p}, x),
             vgg_apply=lambda p, x: vgg.apply({"params": p}, x))
     else:
+        if opts.phase == "qat":
+            # Inference-sim W8A8 forward with STE grads (models/qat.py):
+            # same L1 step, quantization-aware apply_fn.  Self-validation
+            # below evaluates the SAME fake-quant forward, so val_psnr
+            # reports quantized quality directly.
+            from pesr_tpu.models.qat import make_qat_apply
+            g_state = g_state.replace(apply_fn=make_qat_apply(
+                opts.scale, opts.res_scale, _dtype(opts.compute_dtype)))
         step_fn = steps_lib.make_pretrain_step(opts)
 
     start_step = 0
