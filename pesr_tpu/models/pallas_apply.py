@@ -8,11 +8,16 @@ and each x2 upsampler stage via pesr_tpu.ops.pallas.fused_upsampler_stage;
 only the head/tail/output convs stay on XLA.
 
 Honest status (measured on v5e, 2026-08-16): XLA's conv lowering runs
-the body at ~141 TFLOP/s effective (71% of bf16 peak) and the fused
-kernel at ~53 TFLOP/s — the kernel's HBM-traffic savings don't pay
-because the body is compute-bound.  The Pallas path therefore stays
-OPT-IN (correctness-tested, perf-tracked) until the kernel beats XLA,
-e.g. via an int8 MXU variant.
+the body at ~163-186 TFLOP/s effective and the fused kernel at
+~53 TFLOP/s — the kernel's HBM-traffic savings don't pay because the
+body is compute-bound.  The round-2 int8 investigation closed the
+"int8 MXU variant" idea: on this jaxlib the native-int8 fast path
+lives in XLA's CONV emitter (~266 TOP/s); int8 ``dot_general`` — the
+only matmul form available inside Pallas/Mosaic — runs at ~66 TOP/s
+whether emitted by XLA or Mosaic, so a Pallas int8 kernel cannot beat
+the XLA conv it would replace.  The production int8 path is therefore
+plain ``lax.conv`` with static scales (models/quant_apply.py); this
+Pallas path stays OPT-IN as the correctness-tested fusion scaffold.
 """
 
 from __future__ import annotations
