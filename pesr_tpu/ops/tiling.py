@@ -145,7 +145,9 @@ class BatchTiledUpscaler:
                 for nw in range(1, 17):
                     th = math.ceil(h / nh)
                     tw = math.ceil(w / nw)
-                    area_in = (th + 2 * self.ov) * (tw + 2 * self.ov)
+                    # single-tile dims carry no halo (see _build)
+                    area_in = ((th + 2 * self.ov * (nh > 1))
+                               * (tw + 2 * self.ov * (nw > 1)))
                     if area_in > max_area:
                         continue
                     waste = nh * nw * area_in  # total input px processed
@@ -160,9 +162,16 @@ class BatchTiledUpscaler:
         return self.tile, self.tile
 
     def _build(self, b: int, h: int, w: int):
-        ov, s = self.ov, self.scale
+        s = self.scale
         th, tw = self._tile_hw(h, w, b)
         nh, nw = math.ceil(h / th), math.ceil(w / tw)
+        # Halos exist to hide SEAMS between tiles; a dimension covered
+        # by a single tile has no seam, so its halo would only buy a
+        # different border convention (replicate-pad-and-crop) at ~8%
+        # extra compute.  Dropping it makes the single-tile case the
+        # reference's whole-image zero-pad SAME semantics exactly.
+        ov_h = 0 if nh == 1 else self.ov
+        ov_w = 0 if nw == 1 else self.ov
         apply_fn = self._apply_fn
 
         def run(variables, imgs_u8: jnp.ndarray) -> jnp.ndarray:
@@ -170,18 +179,19 @@ class BatchTiledUpscaler:
             # edge pads are tiny vs the image, and host-side padding
             # would serialize a second host pass + a larger upload.
             x = normalize_uint8(imgs_u8)
-            x = _pad_edge_device(x, (ov, nh * th - h + ov,
-                                     ov, nw * tw - w + ov))
+            x = _pad_edge_device(x, (ov_h, nh * th - h + ov_h,
+                                     ov_w, nw * tw - w + ov_w))
             canvas = jnp.zeros((b, nh * th * s, nw * tw * s, 3), jnp.uint8)
 
             def body(k, canvas):
                 i, j = k // nw, k % nw
                 tiles = jax.lax.dynamic_slice(
                     x, (0, i * th, j * tw, 0),
-                    (b, th + 2 * ov, tw + 2 * ov, 3))
+                    (b, th + 2 * ov_h, tw + 2 * ov_w, 3))
                 sr = apply_fn(variables, tiles)
                 core = denormalize_to_uint8(
-                    sr[:, ov * s:(ov + th) * s, ov * s:(ov + tw) * s, :])
+                    sr[:, ov_h * s:(ov_h + th) * s,
+                       ov_w * s:(ov_w + tw) * s, :])
                 return jax.lax.dynamic_update_slice(
                     canvas, core, (0, i * th * s, j * tw * s, 0))
 

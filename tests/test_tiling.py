@@ -104,6 +104,24 @@ def test_batch_tiled_upscale_many_mixed_sizes():
         np.testing.assert_array_equal(sr, host.upscale(im))
 
 
+def test_single_tile_batch_equals_whole_image_exactly():
+    """A grid dimension covered by one tile carries no halo, so the
+    single-tile device engine IS the reference whole-image zero-pad
+    SAME forward — bit-exact, including borders."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler, WholeImageUpscaler
+
+    variables = _gen_params()
+    rng = np.random.default_rng(6)
+    imgs = rng.integers(0, 255, (2, 24, 30, 3), dtype=np.uint8)
+
+    dev = BatchTiledUpscaler(GEN.apply, variables, SCALE,
+                             tile_size=(24, 30), overlap=8)
+    whole = WholeImageUpscaler(GEN.apply, variables, SCALE)
+    got = dev.upscale_batch(imgs)
+    for i in range(2):
+        np.testing.assert_array_equal(got[i], whole.upscale(imgs[i]))
+
+
 def test_tile_size_flag_parses_auto_int_and_zero():
     from pesr_tpu.config import opts_from_args
     assert opts_from_args((), mode="test").tile_size == "auto"
