@@ -37,8 +37,7 @@ needed; test.py calibrates on the eval set's own LR tiles.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Sequence
+from typing import Any, Callable, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -83,3 +83,33 @@ def test_pirm_evaluate_dir_smoke(tmp_path):
     assert result["n_images"] == 2
     for key in ("pi", "niqe", "ma"):
         assert np.isfinite(result[key])
+
+
+def test_convert_cli_discriminator_kind(tmp_path):
+    """python -m pesr_tpu.convert --kind discriminator end-to-end:
+    torch SRGAN-D .pth -> orbax payload with a 'd' tree."""
+    import torch
+    import numpy as np
+    import orbax.checkpoint as ocp
+    from pesr_tpu.convert import main as convert_main
+    from tests.test_convert import TorchDiscriminator
+
+    hr = 32
+    torch.manual_seed(0)
+    td = TorchDiscriminator(hr=hr, chs=(64, 128, 256, 512))
+    # match the flax head width (dense_features=1024)
+    import torch.nn as nn
+    flat = 512 * (hr // 16) ** 2
+    td.fc = nn.Sequential(nn.Linear(flat, 1024), nn.LeakyReLU(0.2),
+                          nn.Linear(1024, 1))
+    src = str(tmp_path / "d.pth")
+    torch.save(td.state_dict(), src)
+
+    dst = str(tmp_path / "d_ckpt")
+    assert convert_main([src, dst, "--kind", "discriminator",
+                         "--hr_size", str(hr)]) == 0
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(dst)
+    assert "d" in payload and "conv0" in payload["d"]["params"]
+    assert payload["d"]["params"]["fc0"]["kernel"].shape == (flat, 1024)
+    assert np.asarray(payload["step"]) == 0
