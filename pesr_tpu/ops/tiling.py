@@ -111,14 +111,24 @@ class BatchTiledUpscaler:
     """
 
     def __init__(self, apply_fn: Callable, variables, scale: int,
-                 tile_size=128, overlap: int = 8) -> None:
+                 tile_size=128, overlap: int = 8, mesh=None) -> None:
         """``tile_size``: int (square tiles), (th, tw) tuple, or the
         string "auto" — pick the rectangular tile splitting each image
         into the fewest near-equal parts whose input area stays under a
         budget, minimizing halo+grid waste (halo cost scales with the
         tile perimeter/area ratio, so fewer, larger tiles win until
-        memory pressure)."""
+        memory pressure).
+
+        ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel
+        inference — the image batch shards across the mesh's data axis
+        (each chip upscales its images; no cross-chip traffic), params
+        replicate, and the returned canvas is likewise batch-sharded.
+        The multi-chip analog of BASELINE config 4."""
         self.scale, self.tile, self.ov = scale, tile_size, overlap
+        self.mesh = mesh
+        if mesh is not None:
+            from pesr_tpu.parallel import shard_pytree_replicated
+            variables = shard_pytree_replicated(mesh, variables)
         self._variables = variables
         self._apply_fn = apply_fn
         self._compiled = {}
@@ -163,7 +173,10 @@ class BatchTiledUpscaler:
 
     def _build(self, b: int, h: int, w: int):
         s = self.scale
-        th, tw = self._tile_hw(h, w, b)
+        # HBM budget is per chip: with a mesh, each device holds only
+        # its batch shard.
+        b_dev = -(-b // self.mesh.size) if self.mesh is not None else b
+        th, tw = self._tile_hw(h, w, b_dev)
         nh, nw = math.ceil(h / th), math.ceil(w / tw)
         # Halos exist to hide SEAMS between tiles; a dimension covered
         # by a single tile has no seam, so its halo would only buy a
@@ -182,6 +195,13 @@ class BatchTiledUpscaler:
             x = _pad_edge_device(x, (ov_h, nh * th - h + ov_h,
                                      ov_w, nw * tw - w + ov_w))
             canvas = jnp.zeros((b, nh * th * s, nw * tw * s, 3), jnp.uint8)
+            if self.mesh is not None:
+                # Keep the canvas batch-sharded like the input; without
+                # the constraint XLA may materialize it replicated and
+                # all_gather every tile write.
+                from pesr_tpu.parallel import batch_sharding
+                canvas = jax.lax.with_sharding_constraint(
+                    canvas, batch_sharding(self.mesh))
 
             def body(k, canvas):
                 i, j = k // nw, k % nw
@@ -211,6 +231,9 @@ class BatchTiledUpscaler:
         if key not in self._compiled:
             self._compiled[key] = self._build(b, h, w)
         run, _grid = self._compiled[key]
+        if self.mesh is not None and not hasattr(imgs_u8, "sharding"):
+            from pesr_tpu.parallel import shard_batch
+            imgs_u8 = shard_batch(self.mesh, np.asarray(imgs_u8))
         return run(self._variables, jnp.asarray(imgs_u8))
 
     def upscale_batch(self, imgs_u8: np.ndarray) -> np.ndarray:
@@ -232,16 +255,26 @@ class BatchTiledUpscaler:
     def warmup_many(self, imgs, batch_size: int = 8) -> None:
         """Compile every (batch, shape) program upscale_many will hit —
         call before timing loops (mirrors TiledUpscaler.warmup)."""
+        mult = self.mesh.size if self.mesh is not None else 1
         for shape, chunk in self._chunks(imgs, batch_size):
-            z = np.zeros((len(chunk),) + tuple(shape), np.uint8)
+            n = len(chunk) + ((-len(chunk)) % mult)
+            z = np.zeros((n,) + tuple(shape), np.uint8)
             self.upscale_batch_device(z).block_until_ready()
 
     def upscale_many(self, imgs, batch_size: int = 8) -> list:
         """Upscale a list of HWC uint8 images of possibly mixed sizes,
-        device-resident per same-shape batch; order is preserved."""
+        device-resident per same-shape batch; order is preserved.
+        With a mesh, partial chunks pad to a multiple of the mesh size
+        (repeating the last image) so the batch axis always shards."""
         results: list = [None] * len(imgs)
+        mult = self.mesh.size if self.mesh is not None else 1
         for shape, chunk in self._chunks(imgs, batch_size):
-            out = self.upscale_batch(np.stack([imgs[i] for i in chunk]))
+            batch = np.stack([imgs[i] for i in chunk])
+            pad = (-len(chunk)) % mult
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], pad, axis=0)])
+            out = self.upscale_batch(batch)
             for k, i in enumerate(chunk):
                 results[i] = out[k]
         return results

@@ -119,9 +119,17 @@ def main(argv=None) -> int:
         # Production path: device-resident pad/tile/stitch — the engine
         # bench.py measures the 50 MP/s/chip contract with (round-1
         # verdict weak #3: test.py must use the fast path too).
+        # --mesh_shape N shards the image batch across N chips
+        # (data-parallel inference; BASELINE config 4 multi-chip form).
         from pesr_tpu.ops.tiling import BatchTiledUpscaler
+        mesh = None
+        if opts.mesh_shape:
+            from pesr_tpu.parallel import make_mesh
+            mesh = make_mesh(int(opts.mesh_shape))
+            print(f"inference mesh: {mesh.devices.size} device(s)")
         engine = BatchTiledUpscaler(apply_fn, variables, opts.scale,
-                                    opts.tile_size, opts.tile_overlap)
+                                    opts.tile_size, opts.tile_overlap,
+                                    mesh=mesh)
         engine.warmup_many(lrs, opts.infer_batch)
         run = lambda: engine.upscale_many(lrs, opts.infer_batch)  # noqa: E731
         print(f"device-resident tiled mode (tile={opts.tile_size}, "

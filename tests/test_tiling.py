@@ -122,6 +122,29 @@ def test_single_tile_batch_equals_whole_image_exactly():
         np.testing.assert_array_equal(got[i], whole.upscale(imgs[i]))
 
 
+def test_batch_tiled_data_parallel_matches_single_device():
+    """DP inference: the image batch sharded over an 8-device mesh must
+    reproduce the single-device engine exactly, including an odd image
+    count that pads to the mesh size (BASELINE config-4 multi-chip
+    form)."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    from pesr_tpu.parallel import make_mesh
+
+    variables = _gen_params()
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+            for _ in range(5)]  # 5 images -> pads to 8 on the mesh
+
+    solo = BatchTiledUpscaler(GEN.apply, variables, SCALE,
+                              tile_size=16, overlap=8)
+    dp = BatchTiledUpscaler(GEN.apply, variables, SCALE,
+                            tile_size=16, overlap=8, mesh=make_mesh(8))
+    ref = solo.upscale_many(imgs, batch_size=8)
+    got = dp.upscale_many(imgs, batch_size=8)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_tile_size_flag_parses_auto_int_and_zero():
     from pesr_tpu.config import opts_from_args
     assert opts_from_args((), mode="test").tile_size == "auto"
