@@ -67,7 +67,8 @@ def main() -> int:
     # see README "Performance") — BENCH_QUANT=none for pure bf16.
     quant = os.environ.get("BENCH_QUANT", "int8")  # int8 | none
     fold = os.environ.get("BENCH_FOLD", "1") == "1"
-    scale = 4
+    scale = int(os.environ.get("BENCH_SCALE", "4"))
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
 
     dev = jax.devices()[0]
     print(f"[bench] device={dev} tile={tile} overlap={overlap} "
@@ -99,9 +100,11 @@ def main() -> int:
         variables = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16), variables)
 
-    # DIV2K-val-like LR inputs (510x336 -> 2040x1344 HR output).
+    # DIV2K-val-like inputs: same 2040x1344 HR output at every scale
+    # (the LR side shrinks as the scale grows, like real benchmark use).
+    lr_h, lr_w = 2040 // scale, 1344 // scale
     rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 255, (n_images, 510, 336, 3), dtype=np.uint8)
+    imgs = rng.integers(0, 255, (n_images, lr_h, lr_w, 3), dtype=np.uint8)
     # Device-resident input: the contract is chip throughput.  On this
     # dev harness H2D rides a ~100 MB/s network tunnel (a production
     # host's PCIe moves the same 4 MB in <1 ms and overlaps it with
@@ -118,14 +121,19 @@ def main() -> int:
         return time.perf_counter() - t0
 
     once()  # compile + warm
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     elapsed = min(once() for _ in range(repeats))
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"[bench] trace -> {profile_dir}", file=sys.stderr)
 
-    out_mp = n_images * (510 * scale) * (336 * scale) / 1e6
+    out_mp = n_images * (lr_h * scale) * (lr_w * scale) / 1e6
     mps = out_mp / elapsed
     print(f"[bench] {out_mp:.1f} MP in {elapsed:.3f}s", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "tiled_x4_inference_throughput",
+        "metric": f"tiled_x{scale}_inference_throughput",
         "value": round(mps, 3),
         "unit": "MP/s/chip",
         "precision": "int8-w8a8" if quant == "int8" else "bf16",

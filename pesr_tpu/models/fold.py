@@ -86,39 +86,49 @@ def fold_upsampler(params: Dict[str, Any], scale: int
         int(np.asarray(up["conv0"]["kernel"]).shape[2])
     img_ch = int(np.asarray(out["kernel"]).shape[3])
 
-    # Probe geometry: centered kernel of radius R, impulse at m.
+    # Probe geometry: centered kernel of radius R.  All C channel
+    # impulses live in ONE image on a spacing grid wide enough that
+    # their responses cannot overlap (the chain is linear, responses
+    # have radius <= r) — one batch-1 forward instead of a batch-C one,
+    # which is both ~C times cheaper and avoids a TPU-compiler failure
+    # observed on the batch-256 x8 probe shape.
     r = num_stages + 1
     size = 2 * r + 1
-    m = 3 * r + 1
-    p_in = m + 2 * r + 2
+    cols = int(np.ceil(np.sqrt(c)))
+    spacing = 2 * r + 2
+    m0 = r + 2
+    p_in = 2 * m0 + cols * spacing
 
     chain = jax.jit(functools.partial(_chain_apply, up, out, num_stages))
 
     # Bias field = response to zero input (constant on the interior per
-    # phase; read at the impulse site).
+    # phase; read at an impulse site).
     zero = jnp.zeros((1, p_in, p_in, c), jnp.float32)
     bias_field = np.asarray(chain(zero))[0]
 
-    # Impulse responses, one input channel per batch element.
-    impulses = jnp.zeros((c, p_in, p_in, c), jnp.float32)
-    impulses = impulses.at[jnp.arange(c), m, m, jnp.arange(c)].set(1.0)
-    resp = np.asarray(chain(impulses)) - bias_field[None]  # [c, Ps, Ps, 3]
+    ci = np.arange(c)
+    my = m0 + (ci // cols) * spacing
+    mx = m0 + (ci % cols) * spacing
+    impulse = jnp.zeros((1, p_in, p_in, c), jnp.float32)
+    impulse = impulse.at[0, my, mx, ci].set(1.0)
+    resp = np.asarray(chain(impulse))[0] - bias_field  # [Ps*s, Ps*s, 3]
 
     # Read out the centered-conv kernel:
     #   y[p] = sum_u K[u] x[p + u - r]  =>  K[u] = y[m + r - u] | impulse@m
-    # in pixel_shuffle(s) channel order ch = col*s^2 + i*s + j.
+    # in pixel_shuffle(s) channel order ch = col*s^2 + i*s + j, with
+    # y48[p, q, ch] == chain_out[p*s + i, q*s + j, col].
     kernel = np.zeros((size, size, c, img_ch * s * s), np.float32)
     bias = np.zeros((img_ch * s * s,), np.float32)
+    u = np.arange(size)
     for i in range(s):
         for j in range(s):
             for col in range(img_ch):
                 ch = col * s * s + i * s + j
-                # y48[p, q, ch] == chain_out[p*s + i, q*s + j, col]
-                pu = (m + r - np.arange(size)) * s + i
-                qv = (m + r - np.arange(size)) * s + j
-                kernel[:, :, :, ch] = resp[:, pu[:, None], qv[None, :],
-                                           col].transpose(1, 2, 0)
-                bias[ch] = bias_field[m * s + i, m * s + j, col]
+                pu = (my[:, None] + r - u[None, :]) * s + i  # [c, size]
+                qv = (mx[:, None] + r - u[None, :]) * s + j
+                kernel[:, :, :, ch] = resp[
+                    pu[:, :, None], qv[:, None, :], col].transpose(1, 2, 0)
+                bias[ch] = bias_field[my[0] * s + i, mx[0] * s + j, col]
 
     # Trim exact-zero fringes (support is asymmetric across phases).
     nz = np.argwhere(np.any(kernel != 0.0, axis=(2, 3)))
