@@ -51,6 +51,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         _lib.pesr_png_probe.restype = ctypes.c_int
         _lib.pesr_png_decode.restype = ctypes.c_int
+        _lib.pesr_png_encode.restype = ctypes.c_int
         _lib.pesr_sample_patches.restype = None
         return _lib
 
@@ -76,6 +77,21 @@ def decode_png(path: str) -> np.ndarray:
     if rc:
         raise IOError(f"PNG decode failed ({rc}): {path}")
     return out
+
+
+def encode_png(path: str, img: np.ndarray, level: int = 4) -> None:
+    """libpng RGB8 encode (raises on failure); ``level`` = zlib 0-9."""
+    lib = get_lib()
+    if lib is None:
+        raise ImportError("native data library unavailable")
+    img = np.ascontiguousarray(img)
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected HWC uint8 RGB")
+    rc = lib.pesr_png_encode(
+        path.encode(), img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        img.shape[0], img.shape[1], level)
+    if rc:
+        raise IOError(f"PNG encode failed ({rc}): {path}")
 
 
 class NativePatchSampler:

@@ -115,6 +115,42 @@ int pesr_png_decode(const char* path, unsigned char* out, int h, int w) {
 }
 
 // ---------------------------------------------------------------------
+// PNG encode
+// ---------------------------------------------------------------------
+
+// Write img[h*w*3] RGB8 as a PNG.  `level` is zlib 0-9 (test.py exports
+// feed an offline metric pass, so the default caller favors speed over
+// ratio).  Returns 0 on success.
+int pesr_png_encode(const char* path, const unsigned char* img, int h,
+                    int w, int level) {
+  FILE* fp = std::fopen(path, "wb");
+  if (!fp) return 1;
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING,
+                                            nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_write_struct(&png, &info);
+    std::fclose(fp);
+    return 2;
+  }
+  png_init_io(png, fp);
+  png_set_compression_level(png, level);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y) {
+    rows[y] = const_cast<png_bytep>(img + static_cast<size_t>(y) * w * 3);
+  }
+  png_write_image(png, rows.data());
+  png_write_end(png, info);
+  png_destroy_write_struct(&png, &info);
+  std::fclose(fp);
+  return 0;
+}
+
+// ---------------------------------------------------------------------
 // Patch sampling
 // ---------------------------------------------------------------------
 

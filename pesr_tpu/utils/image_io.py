@@ -18,11 +18,24 @@ def imread_uint8(path: Union[str, os.PathLike]) -> np.ndarray:
 
 
 def imwrite_uint8(path: Union[str, os.PathLike], img: np.ndarray) -> None:
-    """Write an HWC uint8 RGB array as PNG (dirs created as needed)."""
+    """Write an HWC uint8 RGB array as PNG (dirs created as needed).
+
+    PNG paths prefer the native libpng encoder (pesr_tpu.data.native —
+    the benchmark exports are 2K images where PIL's encoder is the
+    bottleneck); PIL remains the fallback and handles other formats."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError(f"expected uint8, got {img.dtype}")
     if img.ndim != 3 or img.shape[-1] != 3:
         raise ValueError(f"expected HWC RGB, got shape {img.shape}")
-    os.makedirs(os.path.dirname(os.fspath(path)) or ".", exist_ok=True)
+    path = os.fspath(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if path.lower().endswith(".png"):
+        try:
+            from pesr_tpu.data import native
+            if native.available():
+                native.encode_png(path, img)
+                return
+        except (ImportError, IOError):
+            pass
     Image.fromarray(img).save(path)

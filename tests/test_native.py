@@ -72,3 +72,25 @@ def test_make_train_iterator_uses_native_sampler():
     assert lr is None
     assert hr.shape == (4, 32, 32, 3)
     it.close()
+
+
+def test_native_png_encode_roundtrip(tmp_path):
+    """Native libpng encoder: write -> native decode AND PIL decode must
+    both reproduce the array exactly (PNG is lossless)."""
+    from pesr_tpu.data import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    from pesr_tpu.utils.image_io import imread_uint8, imwrite_uint8
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (65, 43, 3), dtype=np.uint8)
+    path = str(tmp_path / "x.png")
+    native.encode_png(path, img)
+    np.testing.assert_array_equal(native.decode_png(path), img)
+    np.testing.assert_array_equal(imread_uint8(path), img)
+
+    # imwrite_uint8 routes PNGs through the native encoder
+    path2 = str(tmp_path / "sub" / "y.png")
+    imwrite_uint8(path2, img)
+    np.testing.assert_array_equal(imread_uint8(path2), img)
