@@ -221,3 +221,45 @@ def niqe(img: np.ndarray, model: Optional[NiqeModel] = None) -> float:
     pooled = (model.cov + cov_t) / 2.0
     diff = model.mu - mu_t
     return float(np.sqrt(diff @ np.linalg.pinv(pooled) @ diff))
+
+
+def main(argv=None) -> int:
+    """Refit the NIQE pristine model from a directory of natural images:
+
+        python -m pesr_tpu.metrics.niqe --fit_dir <HR images> \\
+            [--out pesr_tpu/metrics/niqe_model.npz] [--max_images N]
+
+    Run against DIV2K_train_HR the moment real data lands (SURVEY.md
+    §0.1 follow-ups): the bundled default model is fitted on the
+    synthetic corpus and its absolute scores are not comparable to
+    published NIQE values until refit on natural pristine images.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--fit_dir", required=True)
+    p.add_argument("--out", default=_DEFAULT_MODEL_PATH)
+    p.add_argument("--max_images", type=int, default=200)
+    p.add_argument("--sharpness_threshold", type=float, default=0.75)
+    args = p.parse_args(argv)
+
+    from pesr_tpu.utils.image_io import imread_uint8
+
+    files = sorted(
+        f for f in os.listdir(args.fit_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
+    )[: args.max_images]
+    if not files:
+        raise SystemExit(f"no images under {args.fit_dir}")
+    print(f"fitting NIQE pristine model on {len(files)} images ...")
+    imgs = (imread_uint8(os.path.join(args.fit_dir, f)) for f in files)
+    model = fit_niqe_model(imgs, args.sharpness_threshold)
+    model.save(args.out)
+    print(f"saved {args.out} (mu[0]={model.mu[0]:.4f})")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
