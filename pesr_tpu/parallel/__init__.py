@@ -9,6 +9,7 @@ backend-agnostic: it sees a `Mesh` and sharding helpers, never devices.
 from pesr_tpu.parallel.mesh import (
     DATA_AXIS,
     batch_sharding,
+    initialize_distributed,
     make_mesh,
     replicated,
     shard_batch,
@@ -17,6 +18,7 @@ from pesr_tpu.parallel.mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "initialize_distributed",
     "make_mesh",
     "batch_sharding",
     "replicated",

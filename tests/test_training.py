@@ -278,3 +278,32 @@ def test_checkpoint_roundtrip(tmp_path):
     rest = jax.tree_util.tree_leaves(params)
     for a, b in zip(orig, rest):
         np.testing.assert_array_equal(a, b)
+
+
+def test_initialize_distributed_required_semantics(monkeypatch):
+    """--distributed wiring (round-1 verdict item 5): required=True
+    re-raises a failed cluster bring-up instead of silently training
+    single-host; required=False stays a best-effort no-op."""
+    import pesr_tpu.parallel.mesh as mesh_mod
+    from pesr_tpu.parallel import initialize_distributed
+
+    calls = []
+
+    class FakeDistributed:
+        @staticmethod
+        def initialize():
+            calls.append("init")
+
+    monkeypatch.setattr(mesh_mod.jax, "distributed", FakeDistributed)
+    assert initialize_distributed(required=True) is True
+    assert calls == ["init"]
+
+    class FailingDistributed:
+        @staticmethod
+        def initialize():
+            raise RuntimeError("no coordinator")
+
+    monkeypatch.setattr(mesh_mod.jax, "distributed", FailingDistributed)
+    assert initialize_distributed(required=False) is False
+    with pytest.raises(RuntimeError, match="no coordinator"):
+        initialize_distributed(required=True)
