@@ -55,22 +55,27 @@ def test_calibration_records_per_channel_amax():
     np.testing.assert_allclose(calib["body"]["in1"], solo["body"]["in1"])
 
 
-def test_int8_apply_close_to_f32_apply_interior():
-    gen = Generator(scale=2, num_blocks=3, num_channels=16,
+import pytest
+
+
+@pytest.mark.parametrize("scale", [2, 4, 8])
+def test_int8_apply_close_to_f32_apply_interior(scale):
+    gen = Generator(scale=scale, num_blocks=3, num_channels=16,
                     dtype=jnp.float32)
     x = jnp.asarray(np.random.default_rng(1).uniform(
         -1, 1, (1, 24, 24, 3)), jnp.float32)
     variables = gen.init(jax.random.key(0), x)
 
     ref = np.asarray(gen.apply(variables, x))
-    apply_fn, qvars = int8_inference(variables["params"], 2,
+    apply_fn, qvars = int8_inference(variables["params"], scale,
                                      [np.asarray(x)])
     got = np.asarray(apply_fn(qvars, x))
 
     assert got.shape == ref.shape
-    # Interior only: the folded upsampler's border band (radius 2 LR px
-    # at x2) differs by design and is cropped by the tiled engines.
-    r = 2 * 2
+    # Interior only: the folded upsampler's border band (radius
+    # num_stages+1 LR px) differs by design and is cropped by the
+    # tiled engines.
+    r = ({2: 2, 4: 3, 8: 4}[scale]) * scale
     ref_i, got_i = ref[:, r:-r, r:-r], got[:, r:-r, r:-r]
     scale = np.abs(ref_i).max() + 1e-9
     rel = np.abs(got_i - ref_i) / scale

@@ -307,3 +307,53 @@ def test_initialize_distributed_required_semantics(monkeypatch):
     assert initialize_distributed(required=False) is False
     with pytest.raises(RuntimeError, match="no coordinator"):
         initialize_distributed(required=True)
+
+
+def test_interrupt_checkpoint_and_resume(tmp_path, monkeypatch):
+    """Failure recovery (SURVEY.md §5.3): an interrupt mid-epoch saves a
+    best-effort checkpoint, and --resume continues from that exact step
+    to the configured total without overshooting."""
+    from pesr_tpu.data import datasets
+    from pesr_tpu.training.loop import run_training
+
+    opts = dataclasses.replace(
+        TINY, phase="pretrain", num_epochs=2, steps_per_epoch=4,
+        batch_size=8, train_dataset="synthetic",
+        valid_dataset="synthetic", eval_every=5,
+        check_point=str(tmp_path / "exp"), snapshot_every=100,
+        log_every=100)
+
+    real_make = datasets.make_train_iterator
+
+    class InterruptingIter:
+        def __init__(self, inner, at):
+            self.inner, self.at, self.n = inner, at, 0
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            self.n += 1
+            if self.n > self.at:
+                raise KeyboardInterrupt
+            return next(self.inner)
+
+        def close(self):
+            if hasattr(self.inner, "close"):
+                self.inner.close()
+
+    def interrupting_make(o):
+        it, lff = real_make(o)
+        return InterruptingIter(it, at=6), lff
+
+    monkeypatch.setattr(datasets, "make_train_iterator",
+                        interrupting_make)
+    with pytest.raises(KeyboardInterrupt):
+        run_training(opts)
+
+    from pesr_tpu.training import checkpoint as ckpt
+    assert ckpt.latest_step_dir(opts.check_point).endswith("step_6")
+
+    monkeypatch.setattr(datasets, "make_train_iterator", real_make)
+    summary = run_training(dataclasses.replace(opts, resume=True))
+    assert summary["steps"] == 8  # 2 epochs x 4, no overshoot
