@@ -69,6 +69,7 @@ def main() -> int:
     fold = os.environ.get("BENCH_FOLD", "1") == "1"
     scale = int(os.environ.get("BENCH_SCALE", "4"))
     profile_dir = os.environ.get("BENCH_PROFILE", "")
+    mesh_n = int(os.environ.get("BENCH_MESH", "0"))  # 0 = no mesh
 
     dev = jax.devices()[0]
     print(f"[bench] device={dev} tile={tile} overlap={overlap} "
@@ -112,7 +113,18 @@ def main() -> int:
     imgs_dev = jnp.asarray(imgs)
     _ = np.asarray(imgs_dev[0, 0, 0, 0])
 
-    tiler = BatchTiledUpscaler(apply_fn, variables, scale, tile, overlap)
+    mesh = None
+    if mesh_n:
+        # Data-parallel inference over N chips (BENCH_MESH=N): batch
+        # shards across the mesh; the reported number is then MP/s for
+        # the whole mesh — divide by N for per-chip.
+        from pesr_tpu.parallel import make_mesh
+        mesh = make_mesh(mesh_n)
+        if n_images % mesh_n:
+            raise SystemExit(f"BENCH_IMAGES={n_images} not divisible by "
+                             f"BENCH_MESH={mesh_n}")
+    tiler = BatchTiledUpscaler(apply_fn, variables, scale, tile, overlap,
+                               mesh=mesh)
 
     def once() -> float:
         t0 = time.perf_counter()

@@ -205,3 +205,28 @@ def test_upscale_many_matches_single():
     many = tiler.upscale_many(imgs)
     for img, sr in zip(imgs, many):
         np.testing.assert_array_equal(sr, tiler.upscale(img))
+
+
+def test_auto_tile_chooser_budget_and_halo_rules():
+    """The "auto" chooser takes one whole-image tile when the per-batch
+    budget allows (no halo on single-tile dims), splits under pressure,
+    and never exceeds the per-device budget."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+
+    eng = BatchTiledUpscaler(lambda v, x: x, {}, 4, "auto", 8)
+
+    # 510x336 at batch 8: fits the budget as ONE tile (the bench case).
+    assert eng._tile_hw(510, 336, 8) == (510, 336)
+
+    # Same image at batch 64: per-image budget shrinks -> must split,
+    # and the padded tile area must respect the budget.
+    th, tw = eng._tile_hw(510, 336, 64)
+    assert th < 510 or tw < 336
+    import math
+    nh, nw = math.ceil(510 / th), math.ceil(336 / tw)
+    area = ((th + 16 * (nh > 1)) * (tw + 16 * (nw > 1)))
+    assert area <= max(eng._AUTO_PIXEL_BUDGET // 64, 136 * 96)
+
+    # Fixed tiles pass through untouched.
+    eng2 = BatchTiledUpscaler(lambda v, x: x, {}, 4, (24, 30), 8)
+    assert eng2._tile_hw(100, 100, 8) == (24, 30)
