@@ -26,8 +26,12 @@ shape-stable, and unit-tested so the swap is load-and-go.
 
 Pooling/windowing details that the paper leaves loose are pinned here
 (and may differ from the MATLAB internals — re-verify against official
-outputs when weights arrive): percentile pooling at 10%, symmetric
-boundary extension for the DWT, db2 wavelet.
+outputs when weights arrive): percentile pooling at 10%, PERIODIZED
+boundary extension for the DWT (mode 'per': keeps the transform exactly
+orthogonal, which the unit tests pin via subband energy conservation;
+MATLAB's default dwtmode is 'sym' — if converted TreeBagger weights
+disagree at borders, switch _dwt_1d's np.pad to symmetric to match),
+db2 wavelet.
 """
 
 from __future__ import annotations

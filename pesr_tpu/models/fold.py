@@ -19,12 +19,14 @@ model this cuts total MXU work ~22% and removes the lane-starved stage
 entirely (see bench history).
 
 Exactness: the composite is mathematically identical on the interior;
-only pixels within R = (kernel radius) of the image border differ,
+only pixels within R = (kernel radius) of a zero-padded border differ,
 because the original chain zero-pads its INTERMEDIATE activations at
 the border while the folded conv zero-pads only its input.  R is at
-most ``num_stages + 1`` LR pixels, strictly less than the tiled
-engines' halo (default overlap 8), so tiled inference crops the entire
-affected band: the production path is exact.  Whole-image mode
+most ``num_stages + 1`` LR pixels; the apply function advertises it as
+a ``min_halo`` attribute and the tiling engines (ops/tiling.py)
+replicate-pad + crop at least that much context on EVERY border —
+tile seams AND outer image borders — so the production path computes
+every emitted pixel with full interior semantics.  Whole-image mode
 (--tile_size 0) keeps the original chain for bit-level reference
 parity.
 
@@ -194,6 +196,12 @@ def make_folded_apply(scale: int, res_scale: float = 0.1,
         y = _conv(y, p["upfold"], (pads, pads))
         return pixel_shuffle(y, s).astype(jnp.float32)
 
+    # Correctness floor for the tiling engines (ops/tiling.py
+    # required_min_halo): the fold is exact only R = num_stages+1 LR px
+    # away from a zero-padded border, so every border — including outer
+    # image borders covered by a single tile — must carry at least this
+    # much replicate-padded context, cropped after the forward.
+    apply.min_halo = {1: 0, 2: 2, 4: 3, 8: 4}[scale]
     return apply
 
 

@@ -230,6 +230,10 @@ def make_int8_apply(scale: int, res_scale: float = 0.1,
              else _conv_bf16(y, up, padding=(pads, pads)))
         return pixel_shuffle(y, s).astype(jnp.float32)
 
+    # The int8 path always uses the folded upsampler, so it inherits the
+    # fold's border band: the tiling engines must pad+crop at least this
+    # much on every border (see models/fold.py and ops/tiling.py).
+    apply.min_halo = {1: 0, 2: 2, 4: 3, 8: 4}[scale]
     return apply
 
 

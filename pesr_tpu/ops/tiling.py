@@ -60,6 +60,21 @@ def self_ensemble_upscale(tiler: "TiledUpscaler",
     return np.clip(np.round(acc / 8.0), 0, 255).astype(np.uint8)
 
 
+def required_min_halo(apply_fn: Callable) -> int:
+    """Correctness floor for the border halo of an apply function.
+
+    Folded-upsampler paths (models/fold.py, models/quant_apply.py) are
+    exact only on the interior: pixels within R = num_stages+1 LR px of
+    a zero-padded border differ from the reference chain (the chain
+    zero-pads its INTERMEDIATE activations, the folded conv only its
+    input).  Those apply functions carry a ``min_halo`` attribute; the
+    engines must replicate-pad at least that much context on EVERY
+    border — including outer image borders covered by a single tile —
+    and crop it, or the border band is corrupt (round-2 review finding:
+    max diff 132/255 on the un-haloed single-tile fold)."""
+    return int(getattr(apply_fn, "min_halo", 0))
+
+
 class WholeImageUpscaler:
     """The reference's inference mode: one whole-image forward per image,
     no tiling (SURVEY.md §3.3) — selected with ``--tile_size 0``.
@@ -67,15 +82,33 @@ class WholeImageUpscaler:
     On TPU this recompiles per distinct image shape (cached), so it only
     makes sense for small fixed-size benchmark sets; the tiled engines
     are the production path.  Provided for exact behavioral parity.
+
+    With a folded apply function (``min_halo > 0``) the input is
+    replicate-padded by the fold band and the output cropped — the fold
+    is only interior-exact, so zero-pad bit parity is impossible and
+    padded-context borders are the correct semantics (test.py keeps the
+    unfolded chain in this mode precisely for bit parity; the int8 path
+    always folds and lands here with the pad).
     """
 
-    def __init__(self, apply_fn: Callable, variables, scale: int) -> None:
+    def __init__(self, apply_fn: Callable, variables, scale: int,
+                 min_halo: Optional[int] = None) -> None:
         self.scale = scale
         self._variables = variables
+        mh = (required_min_halo(apply_fn) if min_halo is None
+              else int(min_halo))
+        self.min_halo = mh
 
         def forward(variables, img_u8: jnp.ndarray) -> jnp.ndarray:
             x = normalize_uint8(img_u8)[None]
-            return denormalize_to_uint8(apply_fn(variables, x)[0])
+            if mh:
+                x = _pad_edge_device(x, (mh, mh, mh, mh))
+            sr = apply_fn(variables, x)[0]
+            if mh:
+                s = scale
+                sr = sr[mh * s:sr.shape[0] - mh * s,
+                        mh * s:sr.shape[1] - mh * s]
+            return denormalize_to_uint8(sr)
 
         self._forward = jax.jit(forward)
 
@@ -111,7 +144,8 @@ class BatchTiledUpscaler:
     """
 
     def __init__(self, apply_fn: Callable, variables, scale: int,
-                 tile_size=128, overlap: int = 8, mesh=None) -> None:
+                 tile_size=128, overlap: int = 8, mesh=None,
+                 min_halo: Optional[int] = None) -> None:
         """``tile_size``: int (square tiles), (th, tw) tuple, or the
         string "auto" — pick the rectangular tile splitting each image
         into the fewest near-equal parts whose input area stays under a
@@ -123,8 +157,15 @@ class BatchTiledUpscaler:
         inference — the image batch shards across the mesh's data axis
         (each chip upscales its images; no cross-chip traffic), params
         replicate, and the returned canvas is likewise batch-sharded.
-        The multi-chip analog of BASELINE config 4."""
+        The multi-chip analog of BASELINE config 4.
+
+        ``min_halo``: correctness floor for the halo on EVERY border
+        (see :func:`required_min_halo`); defaults to the apply
+        function's own ``min_halo`` attribute (folded paths need their
+        fold band padded+cropped even on single-tile dimensions)."""
         self.scale, self.tile, self.ov = scale, tile_size, overlap
+        self.min_halo = (required_min_halo(apply_fn) if min_halo is None
+                         else int(min_halo))
         self.mesh = mesh
         if mesh is not None:
             from pesr_tpu.parallel import shard_pytree_replicated
@@ -155,9 +196,10 @@ class BatchTiledUpscaler:
                 for nw in range(1, 17):
                     th = math.ceil(h / nh)
                     tw = math.ceil(w / nw)
-                    # single-tile dims carry no halo (see _build)
-                    area_in = ((th + 2 * self.ov * (nh > 1))
-                               * (tw + 2 * self.ov * (nw > 1)))
+                    # single-tile dims carry only the min_halo floor
+                    # (see _build)
+                    area_in = ((th + 2 * self._ov_for(nh))
+                               * (tw + 2 * self._ov_for(nw)))
                     if area_in > max_area:
                         continue
                     waste = nh * nw * area_in  # total input px processed
@@ -171,6 +213,18 @@ class BatchTiledUpscaler:
             return self.tile
         return self.tile, self.tile
 
+    def _ov_for(self, n_tiles: int) -> int:
+        """Halo for a dimension split into ``n_tiles``.  Halos exist to
+        hide SEAMS between tiles; a dimension covered by a single tile
+        has no seam, so its halo drops to the apply function's
+        ``min_halo`` correctness floor (0 for the plain chain — making
+        the single-tile case the reference's whole-image zero-pad SAME
+        semantics exactly; the fold band for folded/int8 paths, which
+        are only interior-exact).  Multi-tile dims likewise never go
+        below the floor."""
+        return (max(self.ov, self.min_halo) if n_tiles > 1
+                else self.min_halo)
+
     def _build(self, b: int, h: int, w: int):
         s = self.scale
         # HBM budget is per chip: with a mesh, each device holds only
@@ -178,13 +232,7 @@ class BatchTiledUpscaler:
         b_dev = -(-b // self.mesh.size) if self.mesh is not None else b
         th, tw = self._tile_hw(h, w, b_dev)
         nh, nw = math.ceil(h / th), math.ceil(w / tw)
-        # Halos exist to hide SEAMS between tiles; a dimension covered
-        # by a single tile has no seam, so its halo would only buy a
-        # different border convention (replicate-pad-and-crop) at ~8%
-        # extra compute.  Dropping it makes the single-tile case the
-        # reference's whole-image zero-pad SAME semantics exactly.
-        ov_h = 0 if nh == 1 else self.ov
-        ov_w = 0 if nw == 1 else self.ov
+        ov_h, ov_w = self._ov_for(nh), self._ov_for(nw)
         apply_fn = self._apply_fn
 
         def run(variables, imgs_u8: jnp.ndarray) -> jnp.ndarray:
@@ -231,9 +279,20 @@ class BatchTiledUpscaler:
         if key not in self._compiled:
             self._compiled[key] = self._build(b, h, w)
         run, _grid = self._compiled[key]
-        if self.mesh is not None and not hasattr(imgs_u8, "sharding"):
-            from pesr_tpu.parallel import shard_batch
-            imgs_u8 = shard_batch(self.mesh, np.asarray(imgs_u8))
+        if self.mesh is not None:
+            # Ensure the batch axis is actually sharded over the mesh.
+            # Host arrays AND device arrays landed on one default device
+            # (e.g. bench.py's resident upload) both need the put — a
+            # single-device batch against mesh-replicated params would
+            # otherwise fail at dispatch or silently re-distribute
+            # inside every timed iteration.  jax.device_put reshards
+            # device-to-device without a host round-trip.
+            from pesr_tpu.parallel import batch_sharding, shard_batch
+            want = batch_sharding(self.mesh)
+            if isinstance(imgs_u8, np.ndarray):
+                imgs_u8 = shard_batch(self.mesh, imgs_u8)
+            elif getattr(imgs_u8, "sharding", None) != want:
+                imgs_u8 = jax.device_put(imgs_u8, want)
         return run(self._variables, jnp.asarray(imgs_u8))
 
     def upscale_batch(self, imgs_u8: np.ndarray) -> np.ndarray:
@@ -254,10 +313,17 @@ class BatchTiledUpscaler:
 
     def warmup_many(self, imgs, batch_size: int = 8) -> None:
         """Compile every (batch, shape) program upscale_many will hit —
-        call before timing loops (mirrors TiledUpscaler.warmup)."""
+        call before timing loops (mirrors TiledUpscaler.warmup).
+        Deduplicated on the compiled key: N same-shape chunks share at
+        most two programs (full batch + padded tail), so only those run."""
         mult = self.mesh.size if self.mesh is not None else 1
+        seen = set()
         for shape, chunk in self._chunks(imgs, batch_size):
             n = len(chunk) + ((-len(chunk)) % mult)
+            key = (n,) + tuple(shape)
+            if key in seen:
+                continue
+            seen.add(key)
             z = np.zeros((n,) + tuple(shape), np.uint8)
             self.upscale_batch_device(z).block_until_ready()
 
@@ -325,7 +391,10 @@ class TiledUpscaler:
             raise ValueError("tile_size must be >0 and overlap >=0")
         self.scale = scale
         self.tile = tile_size
-        self.ov = overlap
+        # This engine pads every border (tile seams and image edges)
+        # by the overlap, so a folded apply's correctness floor (see
+        # required_min_halo) just raises the overlap when needed.
+        self.ov = max(overlap, required_min_halo(apply_fn))
         self.batch = batch_size
         self._variables = variables
 

@@ -77,9 +77,10 @@ def main(argv=None) -> int:
         apply_fn = make_pallas_apply(opts.scale, opts.res_scale)
         print("using fused Pallas residual-block body")
     elif opts.fold and opts.tile_size != 0:
-        # Folded upsampler (models/fold.py) — exact through the tiled
-        # engines (fold radius < halo); whole-image mode keeps the
-        # reference chain for bit-level parity.
+        # Folded upsampler (models/fold.py) — interior-exact; the
+        # engines pad+crop its min_halo fold band on every border.
+        # Whole-image mode keeps the reference chain for bit-level
+        # zero-pad parity instead.
         import jax.numpy as jnp
         from pesr_tpu.models.fold import folded_inference
         apply_fn, variables = folded_inference(
@@ -97,24 +98,35 @@ def main(argv=None) -> int:
             variables = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16), variables)
     lrs = [s.lr for s in samples]
-    if opts.tile_size == 0:
+    if opts.self_ensemble:
+        # x8 TTA needs a per-image .upscale engine: the whole-image
+        # forward when --tile_size 0, else the fixed-shape
+        # host-stitching tiler (square tiles required).
+        from pesr_tpu.ops.tiling import (WholeImageUpscaler,
+                                         self_ensemble_upscale)
+        if opts.tile_size == 0:
+            engine = WholeImageUpscaler(apply_fn, variables, opts.scale)
+            print("whole-image mode (no tiling) + x8 self-ensemble")
+        else:
+            tile = opts.tile_size if isinstance(opts.tile_size, int) \
+                else 96
+            engine = TiledUpscaler(apply_fn, variables, opts.scale,
+                                   tile, opts.tile_overlap,
+                                   opts.infer_batch)
+        engine.warmup()
+        run = lambda: [self_ensemble_upscale(engine, lr)  # noqa: E731
+                       for lr in lrs]
+    elif opts.tile_size == 0:
         # Reference behavior: whole-image forward, no tiling
-        # (SURVEY.md §3.3; recompiles per distinct image shape).
+        # (SURVEY.md §3.3; recompiles per distinct image shape).  Folded
+        # apply paths (--quant int8 always folds) advertise a min_halo
+        # the engine pads+crops automatically — interior-exact borders,
+        # not zero-pad bit parity (impossible once folded).
         from pesr_tpu.ops.tiling import WholeImageUpscaler
         engine = WholeImageUpscaler(apply_fn, variables, opts.scale)
         engine.warmup()
         run = lambda: engine.upscale_many(lrs)  # noqa: E731
         print("whole-image mode (no tiling)")
-    elif opts.self_ensemble:
-        # x8 TTA feeds 8 dihedral shapes per image through the fixed-
-        # shape host-stitching engine (square tiles required).
-        from pesr_tpu.ops.tiling import self_ensemble_upscale
-        tile = opts.tile_size if isinstance(opts.tile_size, int) else 96
-        engine = TiledUpscaler(apply_fn, variables, opts.scale,
-                               tile, opts.tile_overlap, opts.infer_batch)
-        engine.warmup()
-        run = lambda: [self_ensemble_upscale(engine, lr)  # noqa: E731
-                       for lr in lrs]
     else:
         # Production path: device-resident pad/tile/stitch — the engine
         # bench.py measures the 50 MP/s/chip contract with (round-1

@@ -89,6 +89,63 @@ def test_folded_tiled_inference_is_exact():
     assert np.mean(diff > 0) < 1e-4, np.mean(diff > 0)
 
 
+def test_folded_single_tile_borders_not_corrupt():
+    """Round-2 review regression: a single-tile grid must still pad +
+    crop the fold band (min_halo), or image borders are computed from a
+    zero-padded folded conv that matches nothing (measured 132/255 max
+    border error before the fix).  With the floor honored, the folded
+    single-tile output equals the UNFOLDED apply run with identical
+    replicate-padding, everywhere including borders."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+
+    scale = 4
+    gen = _gen(scale)
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    apply_fold, fold_vars = folded_inference(variables["params"], scale,
+                                             dtype=jnp.float32)
+    assert apply_fold.min_halo == 3
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (2, 24, 30, 3), dtype=np.uint8)
+
+    # Single tile covers the image in both engines; the reference engine
+    # is forced to the same 3-px replicate halo so padding semantics
+    # match and the comparison isolates fold-vs-chain numerics.
+    fold_engine = BatchTiledUpscaler(apply_fold, fold_vars, scale,
+                                     tile_size=(24, 30), overlap=8)
+    assert fold_engine._ov_for(1) == 3  # floor honored on single tiles
+    ref_engine = BatchTiledUpscaler(gen.apply, variables, scale,
+                                    tile_size=(24, 30), overlap=8,
+                                    min_halo=3)
+    got = fold_engine.upscale_batch(imgs).astype(np.int16)
+    ref = ref_engine.upscale_batch(imgs).astype(np.int16)
+    diff = np.abs(got - ref)
+    assert diff.max() <= 1, diff.max()  # uint8 rounding ties only
+
+
+def test_folded_whole_image_engine_pads_fold_band():
+    """WholeImageUpscaler must likewise honor a folded apply's min_halo:
+    its output equals the single-tile device engine's (same replicate
+    pad + crop path) bit-for-bit."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler, WholeImageUpscaler
+
+    scale = 4
+    gen = _gen(scale)
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    apply_fold, fold_vars = folded_inference(params, scale,
+                                             dtype=jnp.float32)
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (20, 26, 3), dtype=np.uint8)
+
+    whole = WholeImageUpscaler(apply_fold, fold_vars, scale)
+    assert whole.min_halo == 3
+    dev = BatchTiledUpscaler(apply_fold, fold_vars, scale,
+                             tile_size=(20, 26), overlap=8)
+    np.testing.assert_array_equal(whole.upscale(img),
+                                  dev.upscale_batch(img[None])[0])
+
+
 def test_fold_params_roundtrip_shapes():
     gen = _gen(2)
     params = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))["params"]
