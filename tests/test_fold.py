@@ -114,6 +114,11 @@ def test_folded_single_tile_borders_not_corrupt():
     fold_engine = BatchTiledUpscaler(apply_fold, fold_vars, scale,
                                      tile_size=(24, 30), overlap=8)
     assert fold_engine._ov_for(1) == 3  # floor honored on single tiles
+    # ... and multi-tile dims never go below the floor either, even
+    # when the user passes a smaller overlap.
+    tiny_ov = BatchTiledUpscaler(apply_fold, fold_vars, scale,
+                                 tile_size=16, overlap=1)
+    assert tiny_ov._ov_for(2) == 3
     ref_engine = BatchTiledUpscaler(gen.apply, variables, scale,
                                     tile_size=(24, 30), overlap=8,
                                     min_halo=3)
