@@ -145,6 +145,52 @@ def test_batch_tiled_data_parallel_matches_single_device():
         np.testing.assert_array_equal(a, b)
 
 
+def test_mesh_engine_reshards_device_resident_batch():
+    """Round-2 review regression: a batch already on ONE device (e.g.
+    bench.py's resident upload) fed to a mesh engine must be resharded
+    across the mesh — the old ``hasattr(x, "sharding")`` guard never
+    fired on jax arrays, so the jitted program got a single-device
+    batch against mesh-replicated params."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    from pesr_tpu.parallel import batch_sharding, make_mesh
+
+    variables = _gen_params()
+    rng = np.random.default_rng(8)
+    imgs = rng.integers(0, 255, (8, 24, 24, 3), dtype=np.uint8)
+
+    mesh = make_mesh(8)
+    dp = BatchTiledUpscaler(GEN.apply, variables, SCALE,
+                            tile_size=16, overlap=8, mesh=mesh)
+    solo = BatchTiledUpscaler(GEN.apply, variables, SCALE,
+                              tile_size=16, overlap=8)
+
+    resident = jax.device_put(imgs, jax.devices()[0])  # one device
+    canvas = dp.upscale_batch_device(resident)
+    assert canvas.sharding == batch_sharding(mesh)  # batch-sharded out
+    h, w = imgs.shape[1:3]
+    np.testing.assert_array_equal(
+        np.asarray(canvas)[:, :h * SCALE, :w * SCALE],
+        solo.upscale_batch(imgs))
+
+
+def test_warmup_many_compiles_each_program_once():
+    """warmup_many must run one forward per distinct compiled program,
+    not one per chunk (round-2 review: 13 same-shape chunks used to run
+    13 full zero-image upscales for 2 programs)."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+
+    variables = _gen_params()
+    eng = BatchTiledUpscaler(GEN.apply, variables, SCALE,
+                             tile_size=16, overlap=8)
+    calls = []
+    orig = eng.upscale_batch_device
+    eng.upscale_batch_device = lambda z: calls.append(z.shape) or orig(z)
+
+    imgs = [np.zeros((24, 24, 3), np.uint8)] * 20
+    eng.warmup_many(imgs, batch_size=8)  # chunks: 8, 8, 4
+    assert sorted(calls) == [(4, 24, 24, 3), (8, 24, 24, 3)]
+
+
 def test_tile_size_flag_parses_auto_int_and_zero():
     from pesr_tpu.config import opts_from_args
     assert opts_from_args((), mode="test").tile_size == "auto"
