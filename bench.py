@@ -61,7 +61,7 @@ def main() -> int:
     n_images = int(os.environ.get("BENCH_IMAGES", "8"))
     blocks = int(os.environ.get("BENCH_BLOCKS", "32"))
     channels = int(os.environ.get("BENCH_CHANNELS", "256"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     # int8 W8A8 is the default headline path: measured within the
     # 0.05 dB parity budget on the trained demo checkpoint (0.03 dB,
     # see README "Performance") — BENCH_QUANT=none for pure bf16.
