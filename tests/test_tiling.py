@@ -191,6 +191,30 @@ def test_warmup_many_compiles_each_program_once():
     assert sorted(calls) == [(4, 24, 24, 3), (8, 24, 24, 3)]
 
 
+def test_update_variables_hot_swaps_without_recompile():
+    """Serving contract (README "Serving / embedding"): swapping
+    checkpoints via update_variables changes the outputs, matches a
+    fresh engine built with the new params, and reuses the compiled
+    program (variables are a jit argument, not baked into the trace)."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+
+    v0 = _gen_params()
+    v1 = GEN.init(jax.random.key(9), jnp.zeros((1, 8, 8, 3)))
+    rng = np.random.default_rng(10)
+    imgs = rng.integers(0, 255, (2, 24, 24, 3), dtype=np.uint8)
+
+    eng = BatchTiledUpscaler(GEN.apply, v0, SCALE, tile_size=16, overlap=8)
+    out0 = eng.upscale_batch(imgs)
+    eng.update_variables(v1)
+    out1 = eng.upscale_batch(imgs)
+    assert len(eng._compiled) == 1  # same program served both
+    assert np.any(out0 != out1)
+
+    fresh = BatchTiledUpscaler(GEN.apply, v1, SCALE, tile_size=16,
+                               overlap=8)
+    np.testing.assert_array_equal(out1, fresh.upscale_batch(imgs))
+
+
 def test_tile_size_flag_parses_auto_int_and_zero():
     from pesr_tpu.config import opts_from_args
     assert opts_from_args((), mode="test").tile_size == "auto"
