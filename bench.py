@@ -47,10 +47,8 @@ def main() -> int:
 
     # Persistent compilation cache: the flagship tiled program takes
     # ~1 min to compile; repeat bench runs should pay that once.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from pesr_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     from pesr_tpu.models import Generator
     from pesr_tpu.ops.tiling import BatchTiledUpscaler
@@ -83,7 +81,7 @@ def main() -> int:
         from pesr_tpu.models.quant_apply import (default_calib_tiles,
                                                  int8_inference)
         rng_calib = np.random.default_rng(1)
-        calib_imgs = [rng_calib.integers(0, 255, (510, 336, 3),
+        calib_imgs = [rng_calib.integers(0, 256, (510, 336, 3),
                                          dtype=np.uint8)]
         apply_fn, variables = int8_inference(
             variables["params"], scale,
@@ -105,7 +103,7 @@ def main() -> int:
     # (the LR side shrinks as the scale grows, like real benchmark use).
     lr_h, lr_w = 2040 // scale, 1344 // scale
     rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 255, (n_images, lr_h, lr_w, 3), dtype=np.uint8)
+    imgs = rng.integers(0, 256, (n_images, lr_h, lr_w, 3), dtype=np.uint8)
     # Device-resident input: the contract is chip throughput.  On this
     # dev harness H2D rides a ~100 MB/s network tunnel (a production
     # host's PCIe moves the same 4 MB in <1 ms and overlaps it with

@@ -275,8 +275,19 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
 
 def load_vgg_weights(path: str, template: Any) -> Any:
     """--vgg_weights entry point: torch VGG19 checkpoint -> flax params
-    validated against the initialized template tree."""
+    validated against the initialized template tree.
+
+    The template holds only the trunk PREFIX up to the requested
+    ``--vgg_layer`` (VGG19Features returns early, so later convs are
+    never created); the torch checkpoint always carries all 16 convs.
+    Extra converted layers are dropped — validating the full set against
+    a truncated template made every non-"54" layer flag unusable."""
     converted = convert_torch_vgg19(load_torch_state_dict(path))
+    missing = set(template) - set(converted)
+    if missing:
+        raise ValueError(f"VGG19 checkpoint lacks layers required by "
+                         f"the template: {sorted(missing)}")
+    converted = {k: v for k, v in converted.items() if k in template}
     validate_against_template(template, converted, "VGG19")
     return converted
 

@@ -29,9 +29,13 @@ def normalize_uint8(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def denormalize_to_uint8(x: jnp.ndarray) -> jnp.ndarray:
-    """float [-1,1] -> uint8 with round-half-away like MATLAB/PIL save."""
+    """float [-1,1] -> uint8 with round-half-away like MATLAB im2uint8.
+
+    ``floor(y + 0.5)``, NOT ``jnp.round`` — that is round-half-to-EVEN,
+    which writes 128 where MATLAB/PIL write 129 for an exact 128.5
+    (negative ties are moot: anything below 0.5 clips to 0)."""
     y = (x.astype(jnp.float32) + 1.0) * 127.5
-    return jnp.clip(jnp.round(y), 0.0, 255.0).astype(jnp.uint8)
+    return jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0).astype(jnp.uint8)
 
 
 def _dihedral(x: jnp.ndarray, bits: jnp.ndarray) -> jnp.ndarray:

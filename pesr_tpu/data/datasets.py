@@ -164,7 +164,9 @@ def host_bicubic_resize(img: np.ndarray, out_h: int,
     x = img.astype(np.float64)
     x = np.einsum("oh,hwc->owc", mh, x, optimize=True)
     x = np.einsum("ow,hwc->hoc", mw, x, optimize=True)
-    return np.clip(np.round(x), 0, 255).astype(np.uint8)
+    # floor(x + 0.5): MATLAB im2uint8 rounds ties half-AWAY, np.round
+    # half-to-even (ties below 0.5 clip to 0, so away == up here).
+    return np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
 
 
 def host_bicubic_downsample(hr: np.ndarray, scale: int) -> np.ndarray:
@@ -317,10 +319,29 @@ def make_train_iterator(opts) -> Tuple[Iterator, bool]:
     when the shared library builds and the decoded corpus fits RAM;
     otherwise (and always in LR-file mode) the Python PatchIterator runs
     behind a prefetch thread.
+
+    Multi-host: ``shard_batch``'s contract (parallel/mesh.py) is that
+    each process passes its LOCAL shard of the global batch.  This is
+    where that contract is implemented: with P processes each host
+    samples ``batch_size / P`` patches from a per-process-distinct
+    stream — identical seeds across hosts would assemble a global batch
+    of P duplicated copies (zero effective data parallelism, silently).
     """
+    import jax
+    n_proc = jax.process_count()
+    batch_local, seed = opts.batch_size, opts.seed
+    if n_proc > 1:
+        if opts.batch_size % n_proc:
+            raise ValueError(
+                f"--batch_size {opts.batch_size} must be divisible by "
+                f"the process count {n_proc} (it is the GLOBAL batch)")
+        batch_local = opts.batch_size // n_proc
+        # Distinct, deterministic stream per host for any base seed.
+        seed = opts.seed * 1_000_003 + jax.process_index()
+
     src = _resolve_train_source(opts)
-    it = PatchIterator(src, opts.patch_size, opts.scale, opts.batch_size,
-                       seed=opts.seed)
+    it = PatchIterator(src, opts.patch_size, opts.scale, batch_local,
+                       seed=seed)
     if not it.use_lr_files:
         try:
             from pesr_tpu.data import native
@@ -329,8 +350,8 @@ def make_train_iterator(opts) -> Tuple[Iterator, bool]:
                           else src.get(i) for i in range(len(src))]
                 if sum(im.nbytes for im in images) <= _NATIVE_CACHE_BYTES:
                     sampler = native.NativePatchSampler(
-                        images, opts.hr_patch_size, opts.batch_size,
-                        seed=opts.seed)
+                        images, opts.hr_patch_size, batch_local,
+                        seed=seed)
                     return Prefetcher(sampler), False
         except (ImportError, ValueError):
             pass

@@ -191,17 +191,29 @@ def fit_niqe_model(images: Iterable[np.ndarray],
     return NiqeModel(mu=feats.mean(axis=0), cov=np.cov(feats.T))
 
 
+_DEFAULT_MODEL_CACHE: Optional[NiqeModel] = None
+
+
 def _default_model() -> NiqeModel:
-    """Load (or lazily fit+cache) the synthetic-corpus default model."""
+    """Load (or lazily fit) the synthetic-corpus default model, once per
+    process — niqe() runs per validation image, and without the memo a
+    read-only install would re-fit the whole pristine model per image
+    (and even the writable case re-read the npz each call)."""
+    global _DEFAULT_MODEL_CACHE
+    if _DEFAULT_MODEL_CACHE is not None:
+        return _DEFAULT_MODEL_CACHE
     if os.path.exists(_DEFAULT_MODEL_PATH):
-        return NiqeModel.load(_DEFAULT_MODEL_PATH)
-    from pesr_tpu.data.datasets import SyntheticImages
-    src = SyntheticImages(num_images=24, height=480, width=480, seed=1234)
-    model = fit_niqe_model([src.get(i) for i in range(len(src))])
-    try:
-        model.save(_DEFAULT_MODEL_PATH)
-    except OSError:
-        pass  # read-only install: fit per process
+        model = NiqeModel.load(_DEFAULT_MODEL_PATH)
+    else:
+        from pesr_tpu.data.datasets import SyntheticImages
+        src = SyntheticImages(num_images=24, height=480, width=480,
+                              seed=1234)
+        model = fit_niqe_model([src.get(i) for i in range(len(src))])
+        try:
+            model.save(_DEFAULT_MODEL_PATH)
+        except OSError:
+            pass  # read-only install: keep the in-process memo only
+    _DEFAULT_MODEL_CACHE = model
     return model
 
 

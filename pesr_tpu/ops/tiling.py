@@ -57,7 +57,8 @@ def self_ensemble_upscale(tiler: "TiledUpscaler",
         if t & 1:
             sr = sr[::-1]
         acc = sr if acc is None else acc + sr
-    return np.clip(np.round(acc / 8.0), 0, 255).astype(np.uint8)
+    # floor(+0.5) = round-half-away, matching denormalize_to_uint8.
+    return np.clip(np.floor(acc / 8.0 + 0.5), 0, 255).astype(np.uint8)
 
 
 def required_min_halo(apply_fn: Callable) -> int:
@@ -393,8 +394,12 @@ class TiledUpscaler:
         self.tile = tile_size
         # This engine pads every border (tile seams and image edges)
         # by the overlap, so a folded apply's correctness floor (see
-        # required_min_halo) just raises the overlap when needed.
-        self.ov = max(overlap, required_min_halo(apply_fn))
+        # required_min_halo) just raises the overlap when needed.  The
+        # raised value must drive BOTH the cut (self.ov) and the jitted
+        # crop/input shape below — a mismatch shifts every stitched
+        # core by (ov - overlap) * scale pixels.
+        overlap = max(overlap, required_min_halo(apply_fn))
+        self.ov = overlap
         self.batch = batch_size
         self._variables = variables
 

@@ -220,3 +220,49 @@ def test_vgg19_conversion_forward_parity():
     ref = feats.permute(0, 2, 3, 1).numpy()
 
     np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_load_vgg_weights_with_truncated_template(tmp_path):
+    """--vgg_layer 22 initializes only the trunk PREFIX (VGG19Features
+    returns early), while a torch checkpoint has all 16 convs:
+    load_vgg_weights must load the prefix instead of erroring on the
+    extra layers (round-2 review finding)."""
+    from pesr_tpu.convert import load_vgg_weights
+
+    cfg = [(1, 2, 4), (2, 2, 8), (3, 4, 8), (4, 4, 8), (5, 4, 8)]
+    torch.manual_seed(4)
+    layers, in_ch = [], 3
+    for _, n, ch in cfg:
+        for _ in range(n):
+            layers += [nn.Conv2d(in_ch, ch, 3, padding=1), nn.ReLU()]
+            in_ch = ch
+        layers += [nn.MaxPool2d(2)]
+    trunk = nn.Sequential(*layers[:-2])
+    path = str(tmp_path / "vgg.pth")
+    torch.save(trunk.state_dict(), path)
+
+    import pesr_tpu.models.vgg as vggmod
+    orig = vggmod._VGG19_CFG
+    vggmod._VGG19_CFG = tuple(cfg)
+    try:
+        m = VGG19Features(layer="22", dtype=jnp.float32)
+        template = m.init(jax.random.key(0),
+                          jnp.zeros((1, 16, 16, 3)))["params"]
+        assert len(template) == 4  # prefix only: conv1_1..conv2_2
+        loaded = load_vgg_weights(path, template)
+        assert set(loaded) == set(template)
+        # and the loaded prefix matches the checkpoint's weights
+        w = trunk[0].weight.detach().numpy().transpose(2, 3, 1, 0)
+        np.testing.assert_allclose(
+            np.asarray(loaded["conv1_1"]["kernel"]), w, atol=1e-6)
+
+        # a checkpoint MISSING required prefix layers still errors
+        import pesr_tpu.convert as cv
+        partial = {k: v for i, (k, v) in enumerate(trunk.state_dict()
+                                                   .items()) if i < 4}
+        partial_path = str(tmp_path / "partial.pth")
+        torch.save(partial, partial_path)
+        with pytest.raises(ValueError):
+            cv.load_vgg_weights(partial_path, template)
+    finally:
+        vggmod._VGG19_CFG = orig

@@ -102,3 +102,37 @@ def test_load_eval_set_synthetic():
     s = samples[0]
     assert s.hr.shape[0] == s.lr.shape[0] * 4
     assert s.hr.dtype == np.uint8 and s.lr.dtype == np.uint8
+
+
+def test_make_train_iterator_shards_per_process(monkeypatch):
+    """Multi-host contract (round-2 review): each process must feed a
+    DISTINCT batch_size/P local shard to shard_batch — identical host
+    streams would assemble a global batch of P duplicated copies."""
+    from pesr_tpu.data import datasets as ds
+
+    opts = Opts(train_dataset="synthetic", batch_size=8, patch_size=16)
+
+    def batches_for(idx, count):
+        monkeypatch.setattr(jax, "process_count", lambda: count)
+        monkeypatch.setattr(jax, "process_index", lambda: idx)
+        it, lr_from_files = ds.make_train_iterator(opts)
+        try:
+            lr, hr = next(it)
+        finally:
+            if hasattr(it, "close"):
+                it.close()
+        return hr
+
+    hr0 = batches_for(0, 2)
+    hr1 = batches_for(1, 2)
+    assert hr0.shape[0] == 4 and hr1.shape[0] == 4  # 8 global / 2 hosts
+    assert not np.array_equal(hr0, hr1)  # distinct per-host streams
+
+    # Determinism per host: same (seed, index) -> same stream.
+    np.testing.assert_array_equal(hr0, batches_for(0, 2))
+
+    # Indivisible global batch fails loudly.
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    with pytest.raises(ValueError, match="divisible"):
+        ds.make_train_iterator(opts)

@@ -151,6 +151,34 @@ def test_folded_whole_image_engine_pads_fold_band():
                                   dev.upscale_batch(img[None])[0])
 
 
+def test_host_tiler_small_overlap_raised_without_shift():
+    """Round-2 review regression: TiledUpscaler raises a too-small
+    overlap to the fold's min_halo — the raised value must drive BOTH
+    the tile cut and the jitted crop, or every stitched core shifts by
+    (raised - requested) * scale HR pixels (12 px at x4)."""
+    from pesr_tpu.ops.tiling import TiledUpscaler
+
+    scale = 4
+    gen = _gen(scale)
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    apply_fold, fold_vars = folded_inference(params, scale,
+                                             dtype=jnp.float32)
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+
+    raised = TiledUpscaler(apply_fold, fold_vars, scale, tile_size=16,
+                           overlap=0)  # raised to min_halo=3
+    assert raised.ov == 3
+    explicit = TiledUpscaler(apply_fold, fold_vars, scale, tile_size=16,
+                             overlap=3)
+    # Same effective overlap -> identical cut AND crop: bit-equal.  The
+    # pre-fix bug cut with ov=3 but cropped with ov=0, shifting every
+    # stitched core by 12 HR px relative to this.
+    np.testing.assert_array_equal(raised.upscale(img),
+                                  explicit.upscale(img))
+
+
 def test_fold_params_roundtrip_shapes():
     gen = _gen(2)
     params = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))["params"]
