@@ -92,6 +92,12 @@ def config4(full: bool) -> dict:
     out = subprocess.run([sys.executable, f"{REPO}/bench.py"],
                          capture_output=True, text=True,
                          env={**os.environ, **env})
+    if out.returncode != 0 or not out.stdout.strip():
+        # Surface bench.py's real failure instead of an IndexError /
+        # JSONDecodeError over an empty stdout (round-2 review).
+        raise RuntimeError(
+            f"bench.py exited {out.returncode}; stderr tail:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-10:]))
     line = out.stdout.strip().splitlines()[-1]
     return {"config": 4, **json.loads(line)}
 

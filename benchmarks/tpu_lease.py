@@ -28,7 +28,12 @@ def acquire_tpu(max_attempts: int = 12, backoff_s: float = 25.0):
     import jax
 
     try:
-        return jax.devices()
+        devices = jax.devices()
+        # Clear the retry counter on success: child processes (e.g.
+        # benchmarks/run.py config4 spawning bench.py) must start their
+        # own attempt budget, not inherit an exhausted one.
+        os.environ.pop(_ATTEMPT_VAR, None)
+        return devices
     except RuntimeError as e:
         attempt = int(os.environ.get(_ATTEMPT_VAR, "0"))
         if attempt + 1 >= max_attempts:

@@ -57,6 +57,7 @@ class Opts:
                                   # "qat" (L1 with inference-sim W8A8
                                   # fake-quant forward, models/qat.py)
     pretrained_model: str = ""
+    pretrained_d: str = ""        # discriminator init for the GAN phase
     learning_rate: float = 1e-4
     lr_step: int = 120            # epochs between x0.5 LR decays
     num_epochs: int = 300
@@ -185,6 +186,11 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
                        choices=["pretrain", "train", "qat"])
         g.add_argument("--pretrained_model", type=str,
                        default=d.pretrained_model)
+        g.add_argument("--pretrained_d", type=str, default=d.pretrained_d,
+                       help="discriminator init for the GAN phase: a "
+                            "converted orbax dir (convert.py --kind "
+                            "discriminator), a torch .pth, or a "
+                            "training checkpoint with a 'd' payload")
         g.add_argument("--learning_rate", type=float, default=d.learning_rate)
         g.add_argument("--lr_step", type=int, default=d.lr_step)
         g.add_argument("--num_epochs", type=int, default=d.num_epochs)

@@ -281,8 +281,18 @@ def load_vgg_weights(path: str, template: Any) -> Any:
     ``--vgg_layer`` (VGG19Features returns early, so later convs are
     never created); the torch checkpoint always carries all 16 convs.
     Extra converted layers are dropped — validating the full set against
-    a truncated template made every non-"54" layer flag unusable."""
-    converted = convert_torch_vgg19(load_torch_state_dict(path))
+    a truncated template made every non-"54" layer flag unusable.
+
+    ``path`` may be the original torch ``.pth`` OR a directory written
+    by ``python -m pesr_tpu.convert ... --kind vgg19`` (an orbax payload
+    ``{"vgg": {"params": ...}}``) — the CLI artifact was previously a
+    dead end no consumer could load (round-2 review)."""
+    import os
+    if os.path.isdir(path):
+        from pesr_tpu.training.checkpoint import restore_payload
+        converted = restore_payload(path)["vgg"]["params"]
+    else:
+        converted = convert_torch_vgg19(load_torch_state_dict(path))
     missing = set(template) - set(converted)
     if missing:
         raise ValueError(f"VGG19 checkpoint lacks layers required by "
@@ -300,6 +310,25 @@ def load_generator_weights(path: str, template: Any, num_blocks: int,
                                         num_blocks, scale)
     validate_against_template(template, converted, "generator")
     return converted
+
+
+def load_discriminator_params(path: str, template: Any,
+                              hr_size: int) -> Any:
+    """``--pretrained_d`` entry point: accepts a torch ``.pth`` OR an
+    orbax dir — either the converter CLI's ``{"d": {"params": ...}}``
+    artifact or any training checkpoint carrying a ``d`` payload —
+    validated against the initialized template tree.  (The CLI artifact
+    was previously a dead end no consumer could load; round-2 review.)"""
+    import os
+    if os.path.isdir(path):
+        from pesr_tpu.training.checkpoint import restore_payload
+        payload = restore_payload(path)
+        if "d" not in payload or payload["d"] is None:
+            raise ValueError(f"{path} has no discriminator ('d') payload")
+        converted = payload["d"]["params"]
+        validate_against_template(template, converted, "discriminator")
+        return converted
+    return load_discriminator_weights(path, template, hr_size)
 
 
 def load_discriminator_weights(path: str, template: Any,

@@ -211,6 +211,15 @@ class PatchIterator:
             hr = (self.src.get_hr(idx) if hasattr(self.src, "get_hr")
                   else self.src.get(idx))
             lr = self.src.get_lr(idx) if self.use_lr_files else None
+            if self.use_lr_files and lr is None:
+                # A hole in the LR set must not silently leave
+                # np.empty garbage in lr_batch[i] (round-2 review):
+                # train on poisoned noise for that sample, no error.
+                raise FileNotFoundError(
+                    f"LR-file mode: image index {idx} has no LR file "
+                    f"under {getattr(self.src, 'lr_dir', '?')} — fix "
+                    "the LR set or remove the LR directory to use "
+                    "on-device LR synthesis")
             if lr is not None:
                 lh, lw = lr.shape[:2]
                 y = int(self.rng.integers(0, lh - p + 1))
@@ -308,8 +317,15 @@ def train_num_images(opts) -> int:
     return len(_resolve_train_source(opts))
 
 
-def make_train_iterator(opts) -> Tuple[Iterator, bool]:
+def make_train_iterator(opts, start_step: int = 0) -> Tuple[Iterator, bool]:
     """Build the prefetched train-batch iterator.
+
+    ``start_step``: the global step this stream resumes at.  It is
+    folded into the stream seed so a --resume continues on FRESH data —
+    re-seeding with the base seed alone would replay the exact patch
+    sequence the interrupted run already trained on (round-2 review).
+    Continuation is deterministic per (seed, process, start_step), not
+    a byte-replay of the uninterrupted run's tail.
 
     Returns ``(iterator, lr_from_files)``; when ``lr_from_files`` is
     False batches carry ``lr=None`` and the on-device stage synthesizes
@@ -338,6 +354,8 @@ def make_train_iterator(opts) -> Tuple[Iterator, bool]:
         batch_local = opts.batch_size // n_proc
         # Distinct, deterministic stream per host for any base seed.
         seed = opts.seed * 1_000_003 + jax.process_index()
+    if start_step:
+        seed = seed * 2_147_483_647 + start_step  # fresh data on resume
 
     src = _resolve_train_source(opts)
     it = PatchIterator(src, opts.patch_size, opts.scale, batch_local,

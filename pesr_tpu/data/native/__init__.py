@@ -41,11 +41,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if os.path.exists(_SO) and os.path.getmtime(_SO) >= \
-                os.path.getmtime(_SRC):
-            _lib = ctypes.CDLL(_SO)
-        else:
-            _lib = _build()
+        try:
+            if os.path.exists(_SO) and os.path.getmtime(_SO) >= \
+                    os.path.getmtime(_SRC):
+                _lib = ctypes.CDLL(_SO)
+            else:
+                _lib = _build()
+        except OSError:
+            # CDLL load failure (glibc/arch mismatch on a checked-in
+            # .so, missing libpng) or a missing sampler.cpp must mean
+            # "native unavailable", not a crash in make_train_iterator
+            # — the documented contract is a clean Python fallback.
+            _lib = None
         if _lib is None:
             _build_failed = True
             return None

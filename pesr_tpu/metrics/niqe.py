@@ -111,6 +111,12 @@ def _block_features(mscn: np.ndarray) -> np.ndarray:
     feats = list(_estimate_ggd(mscn.ravel()))
     shifts = ((0, 1), (1, 0), (1, 1), (1, -1))  # H, V, D1, D2
     for dy, dx in shifts:
+        # np.roll deliberately mirrors MATLAB's circshift: the official
+        # NIQE/BRISQUE reference code forms its pairwise products as
+        # imdist(:) .* circshift(imdist, shift)(:), i.e. WITH circular
+        # wrap-around at block edges.  Do not "fix" this to a
+        # non-wrapping shift — that would deviate from the published
+        # feature definition the pristine model is fitted against.
         shifted = np.roll(np.roll(mscn, dy, axis=0), dx, axis=1)
         product = (mscn * shifted).ravel()
         feats.extend(_estimate_aggd(product))

@@ -39,7 +39,8 @@ def evaluate_dir(path: str, niqe_model: Optional[NiqeModel] = None,
     from pesr_tpu.utils.image_io import imread_uint8
 
     files = sorted(f for f in os.listdir(path)
-                   if f.lower().endswith((".png", ".jpg", ".bmp")))
+                   if f.lower().endswith((".png", ".jpg", ".jpeg",
+                                          ".bmp")))
     if not files:
         raise FileNotFoundError(f"no images under {path}")
     pis, niqes, mas = [], [], []

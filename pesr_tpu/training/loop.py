@@ -150,8 +150,15 @@ def run_training(opts: Opts) -> Dict[str, float]:
     d_state = vgg_params = None
     if gan_phase:
         disc = build_discriminator(opts)
-        d_state = shard_pytree_replicated(
-            mesh, create_discriminator_state(opts, disc, d_key))
+        d_state = create_discriminator_state(opts, disc, d_key)
+        if opts.pretrained_d:
+            from pesr_tpu.convert import load_discriminator_params
+            d_params = load_discriminator_params(
+                opts.pretrained_d, d_state.params, opts.hr_patch_size)
+            d_state = d_state.replace(params=d_params)
+            print(f"loaded pretrained discriminator from "
+                  f"{opts.pretrained_d}")
+        d_state = shard_pytree_replicated(mesh, d_state)
         vgg = VGG19Features(layer=opts.vgg_layer,
                             dtype=_dtype(opts.compute_dtype))
         if opts.alpha_vgg > 0.0:
@@ -193,7 +200,15 @@ def run_training(opts: Opts) -> Dict[str, float]:
         print(f"resumed from {opts.check_point} at step {start_step}"
               + (f" (best_psnr {best_psnr:.2f})" if best_psnr else ""))
 
-    train_iter, lr_from_files = datasets.make_train_iterator(opts)
+    if start_step:
+        # Resume must continue on fresh batches and fresh augmentation
+        # randomness; the data stream folds start_step into its seed
+        # below, and the jax key stream is folded here for the same
+        # reason (a plain re-seed would replay steps 0..start_step's
+        # augmentation decisions against the replayed patches).
+        rng = jax.random.fold_in(rng, start_step)
+    train_iter, lr_from_files = datasets.make_train_iterator(
+        opts, start_step=start_step)
     print("LR source: pre-generated files (DIV2K bicubic track)"
           if lr_from_files else
           "LR source: synthesized on device (MATLAB-bicubic)")
@@ -271,6 +286,7 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
             if global_step - start_step in profile_at:
                 if global_step - start_step == min(profile_at):
                     jax.profiler.start_trace(opts.profile_dir)
+                    box["profile_open"] = True
             lr_u8, hr_u8 = next(train_iter)
             batch = shard_batch(
                 mesh, {"hr": hr_u8} if lr_u8 is None
@@ -293,6 +309,7 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                 jax.tree_util.tree_map(
                     lambda a: a.block_until_ready(), metrics)
                 jax.profiler.stop_trace()
+                box["profile_open"] = False
                 print(f"[profile] trace written to {opts.profile_dir}")
             pending.append(metrics)
             if global_step % opts.log_every == 0:
@@ -342,3 +359,16 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                                         g_state, d_state,
                                         best_psnr=box.get("best_psnr"))
             print(f"[ckpt] saved {path}")
+        # Eval + checkpointing above can take tens of seconds; reset the
+        # throughput window so the first steps_per_s/mpx_per_s sample of
+        # the next epoch measures training, not eval wall time.
+        t_window = time.time()
+
+    if box.get("profile_open"):
+        # Run ended before the full profile window (fewer than
+        # max(profile_at)+1 steps after start_step): close the trace so
+        # it is actually written instead of silently dropped.
+        jax.profiler.stop_trace()
+        box["profile_open"] = False
+        print(f"[profile] trace written to {opts.profile_dir} "
+              "(run ended before the full profile window)")

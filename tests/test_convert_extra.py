@@ -113,3 +113,48 @@ def test_convert_cli_discriminator_kind(tmp_path):
     assert "d" in payload and "conv0" in payload["d"]["params"]
     assert payload["d"]["params"]["fc0"]["kernel"].shape == (flat, 1024)
     assert np.asarray(payload["step"]) == 0
+
+    # The artifact must have a consumer (round-2 review: it was a dead
+    # end): --pretrained_d loads it back against the flax template.
+    from pesr_tpu.convert import load_discriminator_params
+    from pesr_tpu.models import Discriminator
+    template = Discriminator().init(
+        jax.random.key(0), jnp.zeros((1, hr, hr, 3)))["params"]
+    loaded = load_discriminator_params(dst, template, hr)
+    np.testing.assert_allclose(
+        np.asarray(loaded["fc0"]["kernel"]),
+        np.asarray(payload["d"]["params"]["fc0"]["kernel"]))
+
+
+def test_convert_cli_vgg19_artifact_loads_back(tmp_path):
+    """--kind vgg19 output must feed --vgg_weights (round-2 review):
+    load_vgg_weights accepts the orbax dir, including against a
+    truncated --vgg_layer template."""
+    import torch.nn as nn
+    from pesr_tpu.convert import load_vgg_weights, main as convert_main
+    import pesr_tpu.models.vgg as vggmod
+    from pesr_tpu.models import VGG19Features
+
+    cfg = [(1, 2, 4), (2, 2, 8), (3, 4, 8), (4, 4, 8), (5, 4, 8)]
+    torch.manual_seed(6)
+    layers, in_ch = [], 3
+    for _, n, ch in cfg:
+        for _ in range(n):
+            layers += [nn.Conv2d(in_ch, ch, 3, padding=1), nn.ReLU()]
+            in_ch = ch
+        layers += [nn.MaxPool2d(2)]
+    trunk = nn.Sequential(*layers[:-2])
+    src = str(tmp_path / "vgg.pth")
+    torch.save(trunk.state_dict(), src)
+
+    orig = vggmod._VGG19_CFG
+    vggmod._VGG19_CFG = tuple(cfg)
+    try:
+        dst = str(tmp_path / "vgg_ckpt")
+        assert convert_main([src, dst, "--kind", "vgg19"]) == 0
+        template = VGG19Features(layer="22", dtype=jnp.float32).init(
+            jax.random.key(0), jnp.zeros((1, 16, 16, 3)))["params"]
+        loaded = load_vgg_weights(dst, template)
+        assert set(loaded) == set(template)
+    finally:
+        vggmod._VGG19_CFG = orig

@@ -136,3 +136,28 @@ def test_make_train_iterator_shards_per_process(monkeypatch):
     monkeypatch.setattr(jax, "process_index", lambda: 0)
     with pytest.raises(ValueError, match="divisible"):
         ds.make_train_iterator(opts)
+
+
+def test_make_train_iterator_resume_uses_fresh_stream():
+    """--resume continuation (round-2 review): the stream at start_step
+    N must differ from the start-of-run stream (a plain re-seed replays
+    the batches the interrupted run already trained on) and stay
+    deterministic per (seed, start_step)."""
+    from pesr_tpu.data import datasets as ds
+
+    opts = Opts(train_dataset="synthetic", batch_size=4, patch_size=16)
+
+    def first_batch(start_step):
+        it, _ = ds.make_train_iterator(opts, start_step=start_step)
+        try:
+            _, hr = next(it)
+        finally:
+            if hasattr(it, "close"):
+                it.close()
+        return hr
+
+    fresh = first_batch(0)
+    resumed = first_batch(1000)
+    assert not np.array_equal(fresh, resumed)
+    np.testing.assert_array_equal(resumed, first_batch(1000))
+    np.testing.assert_array_equal(fresh, first_batch(0))

@@ -342,8 +342,8 @@ def test_interrupt_checkpoint_and_resume(tmp_path, monkeypatch):
             if hasattr(self.inner, "close"):
                 self.inner.close()
 
-    def interrupting_make(o):
-        it, lff = real_make(o)
+    def interrupting_make(o, start_step=0):
+        it, lff = real_make(o, start_step=start_step)
         return InterruptingIter(it, at=6), lff
 
     monkeypatch.setattr(datasets, "make_train_iterator",
