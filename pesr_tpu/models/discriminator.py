@@ -24,7 +24,7 @@ parity is owed):
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -54,9 +54,19 @@ class BatchStatNorm(nn.Module):
         return y.astype(x.dtype)
 
 
-def _spectral_normalize(w: jnp.ndarray, num_iters: int = 3) -> jnp.ndarray:
+def _spectral_normalize(w: jnp.ndarray,
+                        num_iters: int = 10) -> jnp.ndarray:
     """Stateless spectral norm: divide w by its top singular value,
-    estimated with a fixed-start power iteration (deterministic)."""
+    estimated with a fixed-start power iteration (deterministic).
+
+    Stateless means a COLD start every call (torch carries a persistent
+    ``u`` across steps; a flax mutable collection would complicate the
+    purely-functional train step), so convergence is (s2/s1)^num_iters
+    from the ones vector.  10 iterations keep the estimate tight even
+    after training decorrelates the top singular direction from the
+    start vector — at 3 (the old default) sigma was systematically
+    underestimated and the Lipschitz bound silently violated.  Cost is
+    ~20 small matvecs per conv, noise next to the convs themselves."""
     mat = w.reshape(-1, w.shape[-1]).astype(jnp.float32)
     u = jnp.ones((mat.shape[0],), jnp.float32) / jnp.sqrt(mat.shape[0])
     for _ in range(num_iters):
@@ -108,10 +118,15 @@ class SNConv(nn.Module):
 
 
 class Discriminator(nn.Module):
-    """Strided-conv discriminator producing raw logits [B, 1]."""
+    """Strided-conv discriminator producing raw logits [B, 1].
+
+    ``channel_schedule`` overrides the widths explicitly; when left
+    None it derives from ``base_channels`` as (1, 2, 4, 8) x base (the
+    SRGAN doubling plan) — previously base_channels was a dead field
+    every consumer silently ignored."""
 
     base_channels: int = 64
-    channel_schedule: Sequence[int] = (64, 128, 256, 512)
+    channel_schedule: Optional[Sequence[int]] = None
     dense_features: int = 1024
     leak: float = 0.2
     spectral_norm: bool = False
@@ -122,15 +137,19 @@ class Discriminator(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)
         act = lambda v: nn.leaky_relu(v, self.leak)  # noqa: E731
+        schedule = (tuple(self.channel_schedule)
+                    if self.channel_schedule is not None
+                    else tuple(self.base_channels * m
+                               for m in (1, 2, 4, 8)))
 
         # First conv: no norm (SRGAN convention).
-        x = act(SNConv(self.channel_schedule[0], 1, self.spectral_norm,
+        x = act(SNConv(schedule[0], 1, self.spectral_norm,
                        self.dtype, self.param_dtype, name="conv0")(x))
         x = act(BatchStatNorm(name="bn0")(
-            SNConv(self.channel_schedule[0], 2, self.spectral_norm,
+            SNConv(schedule[0], 2, self.spectral_norm,
                    self.dtype, self.param_dtype, name="conv0s")(x)))
 
-        for i, ch in enumerate(self.channel_schedule[1:], start=1):
+        for i, ch in enumerate(schedule[1:], start=1):
             x = act(BatchStatNorm(name=f"bn{i}a")(
                 SNConv(ch, 1, self.spectral_norm, self.dtype,
                        self.param_dtype, name=f"conv{i}")(x)))

@@ -169,6 +169,11 @@ def make_folded_apply(scale: int, res_scale: float = 0.1,
     (the ``_pads`` entry is popped into the closure by
     :func:`folded_inference`; pass ``pads`` explicitly when calling this
     directly)."""
+    if pads is None:
+        raise ValueError(
+            "make_folded_apply requires the fold's (pad_lo, pad_hi) — "
+            "pop the '_pads' entry from fold_generator_params(...) and "
+            "pass it, or use folded_inference() which does both")
     s = scale
 
     def _conv(x, p, padding):

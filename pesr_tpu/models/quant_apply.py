@@ -207,6 +207,11 @@ def make_int8_apply(scale: int, res_scale: float = 0.1,
 
     ``qvariables = {"params": quantize_generator_params(...)}`` with
     the ``_pads`` entry popped by the caller (see int8_inference)."""
+    if pads is None:
+        raise ValueError(
+            "make_int8_apply requires the folded upsampler's (pad_lo, "
+            "pad_hi) — pop '_pads' from quantize_generator_params(...) "
+            "and pass it, or use int8_inference() which does both")
     s = scale
 
     def apply(qvariables: Any, x: jnp.ndarray) -> jnp.ndarray:

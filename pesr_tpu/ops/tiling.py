@@ -37,8 +37,11 @@ def self_ensemble_upscale(tiler: "TiledUpscaler",
     trick): upscale all eight dihedral transforms of the input, invert
     each transform on its output, average in float, round once.
 
-    8x the compute for typically ~+0.1-0.2 dB PSNR; exposed as
-    ``test.py --self_ensemble``.
+    Branches are averaged UNQUANTIZED (``upscale_float``) — averaging
+    eight already-rounded uint8 outputs would bake eight independent
+    half-LSB rounding errors into the mean, which is not the reference
+    ensemble's math (round-2 review).  8x the compute for typically
+    ~+0.1-0.2 dB PSNR; exposed as ``test.py --self_ensemble``.
     """
     acc: Optional[np.ndarray] = None
     for t in range(8):
@@ -49,7 +52,8 @@ def self_ensemble_upscale(tiler: "TiledUpscaler",
             img = img[:, ::-1]
         if t & 4:
             img = np.swapaxes(img, 0, 1)
-        sr = tiler.upscale(np.ascontiguousarray(img)).astype(np.float64)
+        sr = tiler.upscale_float(np.ascontiguousarray(img)
+                                 ).astype(np.float64)
         if t & 4:
             sr = np.swapaxes(sr, 0, 1)
         if t & 2:
@@ -100,7 +104,7 @@ class WholeImageUpscaler:
               else int(min_halo))
         self.min_halo = mh
 
-        def forward(variables, img_u8: jnp.ndarray) -> jnp.ndarray:
+        def raw(variables, img_u8: jnp.ndarray) -> jnp.ndarray:
             x = normalize_uint8(img_u8)[None]
             if mh:
                 x = _pad_edge_device(x, (mh, mh, mh, mh))
@@ -109,9 +113,15 @@ class WholeImageUpscaler:
                 s = scale
                 sr = sr[mh * s:sr.shape[0] - mh * s,
                         mh * s:sr.shape[1] - mh * s]
-            return denormalize_to_uint8(sr)
+            return sr
 
-        self._forward = jax.jit(forward)
+        self._forward = jax.jit(
+            lambda v, img: denormalize_to_uint8(raw(v, img)))
+        # Unquantized [0,255]-scale float output — the self-ensemble
+        # averages these and rounds once.
+        self._forward_f = jax.jit(
+            lambda v, img: (raw(v, img).astype(jnp.float32) + 1.0)
+            * 127.5)
 
     def update_variables(self, variables) -> None:
         self._variables = variables
@@ -124,6 +134,13 @@ class WholeImageUpscaler:
             raise ValueError("expected HWC uint8")
         return np.asarray(self._forward(self._variables,
                                         jnp.asarray(lr_u8)))
+
+    def upscale_float(self, lr_u8: np.ndarray) -> np.ndarray:
+        """HWC uint8 -> unquantized float32 SR on the [0,255] scale."""
+        if lr_u8.dtype != np.uint8 or lr_u8.ndim != 3:
+            raise ValueError("expected HWC uint8")
+        return np.asarray(self._forward_f(self._variables,
+                                          jnp.asarray(lr_u8)))
 
     def upscale_many(self, imgs) -> list:
         return [self.upscale(img) for img in imgs]
@@ -232,6 +249,13 @@ class BatchTiledUpscaler:
         # its batch shard.
         b_dev = -(-b // self.mesh.size) if self.mesh is not None else b
         th, tw = self._tile_hw(h, w, b_dev)
+        # Clamp to the image: an oversized fixed tile (tile_size=128 on
+        # a 100px dim) would replicate-fill the grid remainder, so SAME
+        # convs would see replicated context at the true image border
+        # and the single-tile zero-pad-exactness promise of _ov_for
+        # would silently not hold.  Clamped, th==h exactly (and
+        # multi-tile dims are unaffected: th < h there).
+        th, tw = min(th, h), min(tw, w)
         nh, nw = math.ceil(h / th), math.ceil(w / tw)
         ov_h, ov_w = self._ov_for(nh), self._ov_for(nw)
         apply_fn = self._apply_fn
@@ -408,16 +432,22 @@ class TiledUpscaler:
         # Variables are a jit ARGUMENT (not baked into the closure) so
         # swapping params — e.g. per-eval during training — reuses the
         # compiled program instead of retracing.
-        def forward(variables, tiles_u8: jnp.ndarray) -> jnp.ndarray:
+        def cores(variables, tiles_u8: jnp.ndarray) -> jnp.ndarray:
             x = normalize_uint8(tiles_u8)
             sr = apply_fn(variables, x)
             # Crop halo cores on device: less D2H traffic, static slice.
             lo = overlap * scale
             hi = lo + tile_size * scale
-            return denormalize_to_uint8(sr[:, lo:hi, lo:hi, :])
+            return sr[:, lo:hi, lo:hi, :]
 
-        self._jit_forward = jax.jit(forward)
+        self._jit_forward = jax.jit(
+            lambda v, t: denormalize_to_uint8(cores(v, t)))
+        # Unquantized [0,255]-scale float cores for the self-ensemble.
+        self._jit_forward_f = jax.jit(
+            lambda v, t: (cores(v, t).astype(jnp.float32) + 1.0) * 127.5)
         self._forward = lambda tiles: self._jit_forward(
+            self._variables, tiles)
+        self._forward_f = lambda tiles: self._jit_forward_f(
             self._variables, tiles)
         self._in_shape = (batch_size, t_in, t_in, 3)
 
@@ -434,6 +464,13 @@ class TiledUpscaler:
         """HWC uint8 LR -> HWC uint8 SR (H*scale, W*scale)."""
         tiles, grid, hw = self._cut(lr_u8)
         cores = self._run(tiles)
+        return self._stitch(cores, grid, hw)
+
+    def upscale_float(self, lr_u8: np.ndarray) -> np.ndarray:
+        """HWC uint8 LR -> unquantized float32 SR on the [0,255] scale
+        (self-ensemble path: average branches, round once)."""
+        tiles, grid, hw = self._cut(lr_u8)
+        cores = self._run(tiles, forward=self._forward_f)
         return self._stitch(cores, grid, hw)
 
     def upscale_many(self, imgs) -> list:
@@ -464,17 +501,18 @@ class TiledUpscaler:
         ]
         return tiles, (nh, nw), (h, w)
 
-    def _run(self, tiles) -> np.ndarray:
+    def _run(self, tiles, forward=None) -> np.ndarray:
         n = len(tiles)
         b = self.batch
+        forward = forward or self._forward
         out: Optional[np.ndarray] = None
         for start in range(0, n, b):
             chunk = tiles[start:start + b]
             if len(chunk) < b:  # pad the tail batch to the fixed shape
                 chunk = chunk + [chunk[-1]] * (b - len(chunk))
-            res = np.asarray(self._forward(jnp.asarray(np.stack(chunk))))
+            res = np.asarray(forward(jnp.asarray(np.stack(chunk))))
             if out is None:
-                out = np.empty((n,) + res.shape[1:], np.uint8)
+                out = np.empty((n,) + res.shape[1:], res.dtype)
             out[start:start + min(b, n - start)] = res[:min(b, n - start)]
         assert out is not None
         return out
@@ -483,7 +521,7 @@ class TiledUpscaler:
         nh, nw = grid
         h, w = hw
         t, s = self.tile, self.scale
-        canvas = np.empty((nh * t * s, nw * t * s, 3), np.uint8)
+        canvas = np.empty((nh * t * s, nw * t * s, 3), cores.dtype)
         k = 0
         for i in range(nh):
             for j in range(nw):

@@ -300,3 +300,26 @@ def test_auto_tile_chooser_budget_and_halo_rules():
     # Fixed tiles pass through untouched.
     eng2 = BatchTiledUpscaler(lambda v, x: x, {}, 4, (24, 30), 8)
     assert eng2._tile_hw(100, 100, 8) == (24, 30)
+
+
+def test_self_ensemble_averages_unquantized_branches():
+    """Round-2 review regression: branches must be averaged as floats
+    and rounded ONCE.  Branch values 4x100.3 + 4x100.6 average to
+    100.45 -> 100; averaging per-branch uint8 roundings (4x100 + 4x101)
+    would give 100.5 -> 101."""
+    from pesr_tpu.ops.tiling import self_ensemble_upscale
+
+    class FakeTiler:
+        def __init__(self):
+            self.calls = 0
+
+        def upscale_float(self, img):
+            self.calls += 1
+            v = 100.3 if self.calls <= 4 else 100.6
+            h, w = img.shape[:2]
+            return np.full((h * 2, w * 2, 3), v, np.float32)
+
+    out = self_ensemble_upscale(FakeTiler(),
+                                np.zeros((4, 4, 3), np.uint8))
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, np.full((8, 8, 3), 100, np.uint8))
