@@ -356,18 +356,34 @@ class BatchTiledUpscaler:
         """Upscale a list of HWC uint8 images of possibly mixed sizes,
         device-resident per same-shape batch; order is preserved.
         With a mesh, partial chunks pad to a multiple of the mesh size
-        (repeating the last image) so the batch axis always shards."""
+        (repeating the last image) so the batch axis always shards.
+
+        Two batches are kept in flight: jax dispatch is async, so batch
+        k+1's upload+compute overlaps batch k's canvas D2H fetch — the
+        fetch is the bottleneck on thin host links and otherwise
+        serializes the whole loop."""
         results: list = [None] * len(imgs)
         mult = self.mesh.size if self.mesh is not None else 1
+        inflight: list = []  # [(device canvas, chunk, (h, w))]
+
+        def drain(entry):
+            canvas, chunk, (h, w) = entry
+            out = np.asarray(canvas)[:, :h * self.scale, :w * self.scale]
+            for k, i in enumerate(chunk):
+                results[i] = out[k]
+
         for shape, chunk in self._chunks(imgs, batch_size):
             batch = np.stack([imgs[i] for i in chunk])
             pad = (-len(chunk)) % mult
             if pad:
                 batch = np.concatenate(
                     [batch, np.repeat(batch[-1:], pad, axis=0)])
-            out = self.upscale_batch(batch)
-            for k, i in enumerate(chunk):
-                results[i] = out[k]
+            canvas = self.upscale_batch_device(batch)  # async dispatch
+            inflight.append((canvas, chunk, shape[:2]))
+            if len(inflight) > 1:
+                drain(inflight.pop(0))
+        for entry in inflight:
+            drain(entry)
         return results
 
 
