@@ -357,3 +357,41 @@ def test_interrupt_checkpoint_and_resume(tmp_path, monkeypatch):
     monkeypatch.setattr(datasets, "make_train_iterator", real_make)
     summary = run_training(dataclasses.replace(opts, resume=True))
     assert summary["steps"] == 8  # 2 epochs x 4, no overshoot
+
+
+def test_run_training_loads_pretrained_discriminator(tmp_path):
+    """--pretrained_d end-to-end: a converted/saved 'd' payload
+    initializes the GAN-phase discriminator (round-2 review: the
+    converter's discriminator artifact previously had no consumer)."""
+    import orbax.checkpoint as ocp
+
+    from pesr_tpu.training.loop import build_discriminator, run_training
+    from pesr_tpu.training.state import create_discriminator_state
+
+    opts = dataclasses.replace(
+        TINY, phase="train", steps_per_epoch=2, num_epochs=1,
+        batch_size=8, train_dataset="synthetic",
+        valid_dataset="synthetic", eval_every=5, alpha_vgg=0.0,
+        alpha_l1=1.0, check_point=str(tmp_path / "exp"),
+        snapshot_every=100, log_every=100)
+
+    disc = build_discriminator(opts)
+    d_state = create_discriminator_state(opts, disc, jax.random.key(5))
+    d_dir = str(tmp_path / "d_ckpt")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(d_dir, {"step": np.asarray(0),
+                           "d": {"params": d_state.params}})
+
+    summary = run_training(dataclasses.replace(opts, pretrained_d=d_dir))
+    assert summary["steps"] == 2
+
+    # Wrong-geometry D payload fails loudly, not deep in XLA.
+    bad = create_discriminator_state(
+        dataclasses.replace(opts, patch_size=16), disc,
+        jax.random.key(6))
+    bad_dir = str(tmp_path / "d_bad")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(bad_dir, {"step": np.asarray(0),
+                             "d": {"params": bad.params}})
+    with pytest.raises(ValueError, match="discriminator"):
+        run_training(dataclasses.replace(opts, pretrained_d=bad_dir))
