@@ -26,7 +26,10 @@ import subprocess
 import sys
 import time
 
-REPO = __file__.rsplit("/", 2)[0]
+# abspath: a relative invocation ("python benchmarks/run.py") would
+# otherwise resolve REPO to "benchmarks" and break imports + config4.
+import os as _os
+REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
@@ -58,6 +61,9 @@ def config1(full: bool) -> dict:
     sample = load_eval_set(opts, max_images=1)[0]
     tiler = TiledUpscaler(gen.apply, {"params": params}, opts.scale,
                           opts.tile_size, opts.tile_overlap, 1)
+    # Warm up first: without it the timed number is XLA compile time,
+    # not the single-forward latency the config defines.
+    tiler.warmup()
     t0 = time.time()
     sr = tiler.upscale(sample.lr)
     dt = time.time() - t0
@@ -76,8 +82,10 @@ def config2(full: bool) -> dict:
 def config3(full: bool) -> dict:
     """GAN fine-tune (BASELINE.json:9)."""
     from pesr_tpu.training.loop import run_training
+    # RaSGAN = the relativistic-AVERAGE GAN the config names
+    # (BASELINE.json:9 "RaGAN"); RSGAN is the no-average variant.
     opts = _opts(full, phase="train", check_point="/tmp/pesr_bench_c3",
-                 gan_type="RSGAN", alpha_vgg=50.0, alpha_gan=1.0,
+                 gan_type="RaSGAN", alpha_vgg=50.0, alpha_gan=1.0,
                  alpha_tv=1e-6)
     return {"config": 3, **run_training(opts)}
 
@@ -111,11 +119,10 @@ def config5(full: bool) -> dict:
     Platform must be decided BEFORE any jax backend init, so this builds
     the mesh config up front rather than probing device_count."""
     import os
-    import jax
     if os.environ.get("PESR_C5_REAL") != "1":
-        os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
-            " --xla_force_host_platform_device_count=8"
-        jax.config.update("jax_platforms", "cpu")
+        from pesr_tpu.parallel import force_cpu_devices
+        force_cpu_devices(8)
+    import jax
     from pesr_tpu.training.loop import run_training
     results = {}
     for scale in (2, 4, 8):

@@ -472,9 +472,12 @@ class TiledUpscaler:
         self._variables = variables
 
     def warmup(self) -> None:
-        """Compile the fixed-shape forward ahead of timing loops."""
-        self._forward(jnp.zeros(self._in_shape, jnp.uint8)
-                      ).block_until_ready()
+        """Compile the fixed-shape forward ahead of timing loops.  The
+        scalar fetch (not block_until_ready, a no-op through this
+        session's tunneled TPU) guarantees compile + execution have
+        actually finished before the caller starts a clock."""
+        out = self._forward(jnp.zeros(self._in_shape, jnp.uint8))
+        _ = np.asarray(out)[0, 0, 0]
 
     def upscale(self, lr_u8: np.ndarray) -> np.ndarray:
         """HWC uint8 LR -> HWC uint8 SR (H*scale, W*scale)."""

@@ -9,6 +9,7 @@ backend-agnostic: it sees a `Mesh` and sharding helpers, never devices.
 from pesr_tpu.parallel.mesh import (
     DATA_AXIS,
     batch_sharding,
+    force_cpu_devices,
     initialize_distributed,
     make_mesh,
     replicated,
@@ -18,6 +19,7 @@ from pesr_tpu.parallel.mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "force_cpu_devices",
     "initialize_distributed",
     "make_mesh",
     "batch_sharding",

@@ -15,6 +15,8 @@ tests and the driver's multi-chip dry run.
 
 from __future__ import annotations
 
+import os
+import re
 from typing import Any, Optional, Sequence
 
 import jax
@@ -22,6 +24,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+
+
+def force_cpu_devices(n: int) -> None:
+    """Make ``n`` virtual CPU devices visible — the JAX
+    distributed-without-a-cluster trick shared by tests/conftest.py,
+    __graft_entry__.dryrun_multichip, and benchmarks/run.py config 5.
+
+    Must run BEFORE the first backend use.  An existing
+    xla_force_host_platform_device_count in XLA_FLAGS is REPLACED (a
+    substring guard that skips the update leaves a stale outer-harness
+    count in charge, and the caller then fails wanting n devices).  The
+    jax_platforms config update (not just the env var) is required
+    because this session's TPU plugin sitecustomize force-sets
+    "axon,cpu" at interpreter boot."""
+    opt = f"--xla_force_host_platform_device_count={n}"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" in flags:
+        flags = re.sub(
+            r"--xla_force_host_platform_device_count=\d+", opt, flags)
+    else:
+        flags = (flags + " " + opt).strip()
+    os.environ["XLA_FLAGS"] = flags
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # backend already initialized by the caller; use as-is
 
 
 def make_mesh(num_devices: Optional[int] = None,

@@ -7,20 +7,18 @@ before jax initializes, hence this conftest sets them at import time.
 """
 
 import os
+import sys
 
-# Override unconditionally: the session environment pins JAX_PLATFORMS to
-# the TPU plugin ("axon"), but the test suite must run on the virtual
-# 8-device CPU mesh (bench.py, not tests, exercises the real chip).
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Repo root on sys.path: `python -m pytest` adds the cwd, but the
+# `pytest` console script does not — without this, cross-test imports
+# (tests.test_convert) and `import __graft_entry__` fail at collection.
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
-# The TPU plugin's sitecustomize hook force-updates jax_platforms to
-# "axon,cpu" at interpreter boot, ignoring the env var — override the
-# config again here, before any backend initializes.
-import jax  # noqa: E402
+# Tests run on the virtual 8-device CPU mesh (bench.py, not tests,
+# exercises the real chip); the shared helper also overrides the TPU
+# plugin's sitecustomize jax_platforms pin.
+from pesr_tpu.parallel import force_cpu_devices  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+force_cpu_devices(8)
