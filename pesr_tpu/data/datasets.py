@@ -243,6 +243,7 @@ class Prefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._it = it
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -252,26 +253,50 @@ class Prefetcher:
                 if self._stop.is_set():
                     return
                 self._q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            # Worker errors (missing LR file, corrupt PNG, undersized
+            # image) must surface in the CONSUMER with their traceback,
+            # not vanish into a bare StopIteration (round-2 review).
+            self._error = e
         finally:
-            self._q.put(self._SENTINEL)
+            # The sentinel MUST be delivered on normal exhaustion or
+            # error (dropping it leaves the consumer blocked on get
+            # forever), but must not wedge this thread when close() is
+            # tearing down — so: bounded puts, aborted once _stop is
+            # set (close() then drains and joins us).
+            while True:
+                try:
+                    self._q.put(self._SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    if self._stop.is_set():
+                        break
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._stop.is_set():
+            raise RuntimeError("Prefetcher is closed")
         item = self._q.get()
         if item is self._SENTINEL:
+            if self._error is not None:
+                raise self._error
             raise StopIteration
         return item
 
     def close(self) -> None:
         self._stop.set()
-        # Drain so the worker unblocks if it is waiting on a full queue.
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        # Drain so the worker unblocks if it is waiting on a full queue,
+        # then join it — the worker re-checks _stop after every put, so
+        # it exits within one iteration.
+        while self._thread.is_alive():
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.1)
 
 
 # --------------------------------------------------------------------------
@@ -364,9 +389,23 @@ def make_train_iterator(opts, start_step: int = 0) -> Tuple[Iterator, bool]:
         try:
             from pesr_tpu.data import native
             if native.available():
-                images = [src.get_hr(i) if hasattr(src, "get_hr")
-                          else src.get(i) for i in range(len(src))]
-                if sum(im.nbytes for im in images) <= _NATIVE_CACHE_BYTES:
+                # Accumulate against the RAM budget PER IMAGE and bail
+                # early — decoding the whole corpus before checking
+                # would OOM on exactly the corpora the guard exists to
+                # reject (round-2 review); on reject, drop whatever the
+                # source cached during the probe.
+                images, total = [], 0
+                for i in range(len(src)):
+                    im = (src.get_hr(i) if hasattr(src, "get_hr")
+                          else src.get(i))
+                    total += im.nbytes
+                    if total > _NATIVE_CACHE_BYTES:
+                        images = None
+                        if hasattr(src, "_cache"):
+                            src._cache.clear()
+                        break
+                    images.append(im)
+                if images is not None:
                     sampler = native.NativePatchSampler(
                         images, opts.hr_patch_size, batch_local,
                         seed=seed)

@@ -24,10 +24,35 @@ _build_failed = False
 
 
 def _build() -> Optional[ctypes.CDLL]:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-lpng", "-pthread", "-o", _SO]
+    """Compile the sampler, atomically.
+
+    The compiler writes to a private temp path which is os.rename()d
+    over _SO only when complete, under an flock — two processes
+    rebuilding in place (DP bench runs, pytest workers) could otherwise
+    CDLL a half-written file or rewrite an inode another process has
+    dlopen-mmapped (round-2 review)."""
+    import fcntl
+    import tempfile
+    lock_path = _SO + ".lock"
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            # Another process may have finished the build while we
+            # waited on the lock.
+            if os.path.exists(_SO) and os.path.getmtime(_SO) >= \
+                    os.path.getmtime(_SRC):
+                return ctypes.CDLL(_SO)
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+            os.close(fd)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     _SRC, "-lpng", "-pthread", "-o", tmp],
+                    check=True, capture_output=True, timeout=300)
+                os.rename(tmp, _SO)  # atomic on the same filesystem
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
     except (OSError, subprocess.SubprocessError):
         return None
     return ctypes.CDLL(_SO)

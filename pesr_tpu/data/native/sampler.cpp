@@ -18,6 +18,7 @@
 #include <png.h>
 
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <cstdint>
 #include <thread>
@@ -53,7 +54,12 @@ int pesr_png_probe(const char* path, int* h, int* w) {
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
                                            nullptr, nullptr, nullptr);
   png_infop info = png_create_info_struct(png);
+  // Row pointers live on the heap and are declared BEFORE setjmp: a
+  // libpng error longjmps here, and jumping over a live std::vector
+  // skips its destructor (UB + leak) — plain malloc/free is longjmp-safe.
+  png_bytep* rows = nullptr;
   if (!png || !info || setjmp(png_jmpbuf(png))) {
+    std::free(rows);
     if (png) png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
     return 2;
@@ -74,7 +80,12 @@ int pesr_png_decode(const char* path, unsigned char* out, int h, int w) {
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
                                            nullptr, nullptr, nullptr);
   png_infop info = png_create_info_struct(png);
+  // Row pointers live on the heap and are declared BEFORE setjmp: a
+  // libpng error longjmps here, and jumping over a live std::vector
+  // skips its destructor (UB + leak) — plain malloc/free is longjmp-safe.
+  png_bytep* rows = nullptr;
   if (!png || !info || setjmp(png_jmpbuf(png))) {
+    std::free(rows);
     if (png) png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
     return 2;
@@ -104,11 +115,18 @@ int pesr_png_decode(const char* path, unsigned char* out, int h, int w) {
     png_set_strip_alpha(png);
   png_read_update_info(png, info);
 
-  std::vector<png_bytep> rows(h);
+  rows = static_cast<png_bytep*>(std::malloc(sizeof(png_bytep) * h));
+  if (!rows) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return 2;
+  }
   for (int y = 0; y < h; ++y) {
     rows[y] = out + static_cast<size_t>(y) * w * 3;
   }
-  png_read_image(png, rows.data());
+  png_read_image(png, rows);
+  std::free(rows);
+  rows = nullptr;
   png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(fp);
   return 0;
@@ -128,7 +146,9 @@ int pesr_png_encode(const char* path, const unsigned char* img, int h,
   png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING,
                                             nullptr, nullptr, nullptr);
   png_infop info = png_create_info_struct(png);
+  png_bytep* rows = nullptr;  // see decode: longjmp-safe heap buffer
   if (!png || !info || setjmp(png_jmpbuf(png))) {
+    std::free(rows);
     if (png) png_destroy_write_struct(&png, &info);
     std::fclose(fp);
     return 2;
@@ -139,12 +159,19 @@ int pesr_png_encode(const char* path, const unsigned char* img, int h,
                PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
                PNG_FILTER_TYPE_DEFAULT);
   png_write_info(png, info);
-  std::vector<png_bytep> rows(h);
+  rows = static_cast<png_bytep*>(std::malloc(sizeof(png_bytep) * h));
+  if (!rows) {
+    png_destroy_write_struct(&png, &info);
+    std::fclose(fp);
+    return 2;
+  }
   for (int y = 0; y < h; ++y) {
     rows[y] = const_cast<png_bytep>(img + static_cast<size_t>(y) * w * 3);
   }
-  png_write_image(png, rows.data());
+  png_write_image(png, rows);
   png_write_end(png, info);
+  std::free(rows);
+  rows = nullptr;
   png_destroy_write_struct(&png, &info);
   std::fclose(fp);
   return 0;

@@ -66,11 +66,17 @@ def save_train_ckpt(ckpt_dir: str, step: int, g_state: Any,
     deserializing onto a freshly-constructed template state — full
     optimizer-state resume, not just params (SURVEY.md §5.4).
     ``best_psnr`` rides along so best-checkpoint tracking survives
-    --resume instead of being clobbered by the first post-resume eval."""
+    --resume instead of being clobbered by the first post-resume eval.
+
+    Multi-host: only process 0 writes (states are replicated, so it
+    holds full data) — every host force-saving the same directory on
+    shared storage races delete/rename against the others' commits and
+    can leave a truncated checkpoint (round-2 review)."""
     path = os.path.join(_to_abs(ckpt_dir), f"step_{step}")
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, _payload(step, g_state, d_state, best_psnr),
-                   force=True)
+    if jax.process_index() == 0:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, _payload(step, g_state, d_state, best_psnr),
+                       force=True)
     return path
 
 
@@ -81,9 +87,10 @@ def save_best_ckpt(ckpt_dir: str, step: int, g_state: Any,
     copy the reference keeps alongside snapshots, SURVEY.md §5.4).
     Restorable through the same step-dir readers via its path."""
     path = os.path.join(_to_abs(ckpt_dir), "best")
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, _payload(step, g_state, d_state, best_psnr),
-                   force=True)
+    if jax.process_index() == 0:  # see save_train_ckpt
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, _payload(step, g_state, d_state, best_psnr),
+                       force=True)
     return path
 
 

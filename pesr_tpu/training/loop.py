@@ -257,14 +257,20 @@ def run_training(opts: Opts) -> Dict[str, float]:
             print(f"\n[interrupt] live state unrecoverable ({e}); last "
                   f"snapshot: {last}")
         raise
+    finally:
+        # ALWAYS release the prefetch thread (and its pinned decoded
+        # corpus — up to the native-cache budget of RAM) and the JSONL
+        # handle; cleanup only on the normal-return path leaked both on
+        # every interrupt/exception in long-lived processes (round-2
+        # review).
+        if hasattr(train_iter, "close"):
+            train_iter.close()
+        logger.close()
     g_state, d_state = locals_box["g"], locals_box["d"]
     global_step = locals_box["step"]
 
-    if hasattr(train_iter, "close"):
-        train_iter.close()
     summary["steps"] = global_step
     summary["wall_s"] = time.time() - t_start
-    logger.close()
     return summary
 
 

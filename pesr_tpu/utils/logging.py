@@ -51,9 +51,14 @@ class MetricLogger:
                     import tensorflow as tf
                     self._tb = tf.summary.create_file_writer(
                         os.path.join(log_dir, "tb", name))
-                except ImportError:
-                    print("[logger] PESR_TENSORBOARD=1 but tensorflow "
-                          "is unavailable; JSONL only")
+                except Exception as e:  # noqa: BLE001
+                    # TB is an optional MIRROR: a broken TF install
+                    # (protobuf/numpy skew raises TypeError at import,
+                    # not ImportError) or an unwritable log_dir must
+                    # degrade to JSONL-only, not abort training.
+                    print(f"[logger] PESR_TENSORBOARD=1 but TensorBoard "
+                          f"mirroring failed ({type(e).__name__}: {e}); "
+                          "JSONL only")
         self._t0 = time.time()
 
     def log(self, step: int, scalars: Dict[str, float],

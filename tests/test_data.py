@@ -161,3 +161,31 @@ def test_make_train_iterator_resume_uses_fresh_stream():
     assert not np.array_equal(fresh, resumed)
     np.testing.assert_array_equal(resumed, first_batch(1000))
     np.testing.assert_array_equal(fresh, first_batch(0))
+
+
+def test_prefetcher_propagates_worker_errors():
+    """Round-2 review regression: a worker exception (missing LR file,
+    corrupt image) must re-raise in the consumer with its type, not
+    vanish into a bare StopIteration."""
+    def bad_iter():
+        yield 1
+        raise ValueError("corrupt image")
+
+    pf = Prefetcher(bad_iter(), depth=2)
+    assert next(pf) == 1
+    with pytest.raises(ValueError, match="corrupt image"):
+        next(pf)
+
+
+def test_prefetcher_close_joins_blocked_worker():
+    """close() must actually stop a worker blocked on a full depth-1
+    queue (the old drain could eat the sentinel and leave the thread —
+    and a later __next__ — wedged forever)."""
+    import itertools
+
+    pf = Prefetcher(itertools.count(), depth=1)
+    assert next(pf) == 0
+    pf.close()
+    assert not pf._thread.is_alive()
+    with pytest.raises(RuntimeError, match="closed"):
+        next(pf)
