@@ -38,6 +38,7 @@ bugs and verified against the reference apply in tests/test_fold.py.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Callable, Dict, Tuple
 
 import jax
@@ -206,7 +207,9 @@ def make_folded_apply(scale: int, res_scale: float = 0.1,
     # away from a zero-padded border, so every border — including outer
     # image borders covered by a single tile — must carry at least this
     # much replicate-padded context, cropped after the forward.
-    apply.min_halo = {1: 0, 2: 2, 4: 3, 8: 4}[scale]
+    # num_stages = log2(scale) for any power-of-two scale the config
+    # accepts (a dict here KeyError'd on scale 16 — round-3 advisor).
+    apply.min_halo = 0 if scale == 1 else int(math.log2(scale)) + 1
     return apply
 
 

@@ -37,6 +37,7 @@ needed; test.py calibrates on the eval set's own LR tiles.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Dict, Sequence
 
 import jax
@@ -238,7 +239,7 @@ def make_int8_apply(scale: int, res_scale: float = 0.1,
     # The int8 path always uses the folded upsampler, so it inherits the
     # fold's border band: the tiling engines must pad+crop at least this
     # much on every border (see models/fold.py and ops/tiling.py).
-    apply.min_halo = {1: 0, 2: 2, 4: 3, 8: 4}[scale]
+    apply.min_halo = 0 if scale == 1 else int(math.log2(scale)) + 1
     return apply
 
 

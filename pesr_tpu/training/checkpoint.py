@@ -68,15 +68,17 @@ def save_train_ckpt(ckpt_dir: str, step: int, g_state: Any,
     ``best_psnr`` rides along so best-checkpoint tracking survives
     --resume instead of being clobbered by the first post-resume eval.
 
-    Multi-host: only process 0 writes (states are replicated, so it
-    holds full data) — every host force-saving the same directory on
-    shared storage races delete/rename against the others' commits and
-    can leave a truncated checkpoint (round-2 review)."""
+    Multi-host: ``Checkpointer.save`` is a *collective* — it runs
+    ``sync_global_processes`` barriers internally and must be entered by
+    every process; orbax itself restricts the actual directory writes /
+    commit-rename to the primary host.  Gating the call on
+    ``process_index() == 0`` (the round-2 code) deadlocks: process 0
+    blocks at the save barrier that the other hosts never reach
+    (round-3 advisor)."""
     path = os.path.join(_to_abs(ckpt_dir), f"step_{step}")
-    if jax.process_index() == 0:
-        with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(path, _payload(step, g_state, d_state, best_psnr),
-                       force=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, _payload(step, g_state, d_state, best_psnr),
+                   force=True)
     return path
 
 
@@ -87,10 +89,9 @@ def save_best_ckpt(ckpt_dir: str, step: int, g_state: Any,
     copy the reference keeps alongside snapshots, SURVEY.md §5.4).
     Restorable through the same step-dir readers via its path."""
     path = os.path.join(_to_abs(ckpt_dir), "best")
-    if jax.process_index() == 0:  # see save_train_ckpt
-        with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(path, _payload(step, g_state, d_state, best_psnr),
-                       force=True)
+    with ocp.PyTreeCheckpointer() as ckptr:  # collective; see save_train_ckpt
+        ckptr.save(path, _payload(step, g_state, d_state, best_psnr),
+                   force=True)
     return path
 
 
