@@ -2,8 +2,8 @@
 """Headline benchmark: tiled whole-image SR throughput on one chip
 (BASELINE.json:10; target >= 50 MP/s/chip output on v5e, BASELINE.md).
 
-Measures the flagship generator (32 blocks x 256 channels, bf16 compute)
-running the device-resident tiled-inference engine
+Measures the flagship generator (32 blocks x 256 channels) running the
+device-resident tiled-inference engine
 (pesr_tpu.ops.tiling.BatchTiledUpscaler) over DIV2K-val-sized synthetic
 images (510x336 LR -> 2040x1344 HR at x4): pad + overlap-tile + batched
 forwards + core-crop + stitch, all inside one XLA program per image
@@ -13,12 +13,21 @@ execution) — PNG export is test.py's job and on this session's tunneled
 TPU the host link is a dev-harness artifact (~20 MB/s D2H) that would
 measure the tunnel, not the chip.
 
+BOTH precisions are measured every run (round-2 verdict #7): the
+headline path (int8 W8A8 by default) plus the bf16 fallback, so every
+BENCH_r*.json records the quality-safe number alongside the fast one.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": "MP/s/chip", "vs_baseline": ...}
-(vs_baseline = value / 50.0, the BASELINE.md contract.)
+  {"metric": ..., "value": ..., "unit": "MP/s/chip", "vs_baseline": ...,
+   "paths": {"int8-w8a8": {...}, "bf16": {...}}}
+(vs_baseline = value / 50.0, the BASELINE.md contract; top-level value
+is the headline path, `paths` carries every measured path.)
 
 Env overrides: BENCH_TILE ("auto" or an int), BENCH_OVERLAP,
-BENCH_IMAGES, BENCH_BLOCKS, BENCH_CHANNELS, BENCH_REPEATS, BENCH_QUANT.
+BENCH_IMAGES, BENCH_BLOCKS, BENCH_CHANNELS, BENCH_REPEATS,
+BENCH_QUANT (headline path: int8 | none), BENCH_PATHS (comma list of
+paths to measure: default "int8,bf16"; e.g. "int8" to skip the
+fallback on a quick run).
 
 Variance note: this session's tunneled dev chip shows +-20% wall-clock
 drift across hours (shared pool); the bench reports the best of
@@ -32,6 +41,33 @@ import sys
 import time
 
 import numpy as np
+
+
+def _build_apply(gen, variables, scale: int, path: str, fold: bool,
+                 calib_imgs):
+    """Build (apply_fn, variables) for one measured precision path.
+
+    ``path``: "int8" (W8A8 folded, the headline) or "bf16" (folded bf16
+    unless BENCH_FOLD=0, then the plain bf16 chain)."""
+    import jax
+    import jax.numpy as jnp
+
+    if path == "int8":
+        from pesr_tpu.models.quant_apply import (default_calib_tiles,
+                                                 int8_inference)
+        return int8_inference(variables["params"], scale,
+                              default_calib_tiles(calib_imgs))
+    if fold:
+        # Folded upsampler (models/fold.py): the linear conv->PS->out
+        # chain as one conv + one depth-to-space — exact through the
+        # tiled engine, ~20% less MXU work (BENCH_FOLD=0 to disable).
+        from pesr_tpu.models.fold import folded_inference
+        return folded_inference(variables["params"], scale,
+                                dtype=jnp.bfloat16)
+    # bf16 params for inference (weights stream from HBM every tile
+    # iteration; halving their width is free throughput).
+    return gen.apply, jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), variables)
 
 
 def main() -> int:
@@ -61,43 +97,34 @@ def main() -> int:
     channels = int(os.environ.get("BENCH_CHANNELS", "256"))
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     # int8 W8A8 is the default headline path: measured within the
-    # 0.05 dB parity budget on the trained demo checkpoint (0.03 dB,
-    # see README "Performance") — BENCH_QUANT=none for pure bf16.
+    # 0.05 dB parity budget on trained checkpoints incl. flagship width
+    # (README "Performance") — BENCH_QUANT=none makes bf16 the headline.
     quant = os.environ.get("BENCH_QUANT", "int8")  # int8 | none
     fold = os.environ.get("BENCH_FOLD", "1") == "1"
     scale = int(os.environ.get("BENCH_SCALE", "4"))
     profile_dir = os.environ.get("BENCH_PROFILE", "")
     mesh_n = int(os.environ.get("BENCH_MESH", "0"))  # 0 = no mesh
 
+    headline = "int8-w8a8" if quant == "int8" else "bf16"
+    path_names = [p.strip() for p in
+                  os.environ.get("BENCH_PATHS", "int8,bf16").split(",")
+                  if p.strip()]
+    paths = ["int8-w8a8" if p == "int8" else "bf16" for p in path_names]
+    if headline not in paths:
+        paths.insert(0, headline)
+
     dev = jax.devices()[0]
     print(f"[bench] device={dev} tile={tile} overlap={overlap} "
-          f"images={n_images} model={blocks}x{channels}", file=sys.stderr)
+          f"images={n_images} model={blocks}x{channels} paths={paths}",
+          file=sys.stderr)
 
     gen = Generator(scale=scale, num_blocks=blocks, num_channels=channels)
     variables = jax.jit(gen.init)(jax.random.key(0),
                                   jnp.zeros((1, 16, 16, 3)))
-    apply_fn = gen.apply
-    if quant == "int8":
-        from pesr_tpu.models.quant_apply import (default_calib_tiles,
-                                                 int8_inference)
-        rng_calib = np.random.default_rng(1)
-        calib_imgs = [rng_calib.integers(0, 256, (510, 336, 3),
-                                         dtype=np.uint8)]
-        apply_fn, variables = int8_inference(
-            variables["params"], scale,
-            default_calib_tiles(calib_imgs))
-    elif fold:
-        # Folded upsampler (models/fold.py): the linear conv->PS->out
-        # chain as one conv + one depth-to-space — exact through the
-        # tiled engine, ~20% less MXU work (BENCH_FOLD=0 to disable).
-        from pesr_tpu.models.fold import folded_inference
-        apply_fn, variables = folded_inference(
-            variables["params"], scale, dtype=jnp.bfloat16)
-    else:
-        # bf16 params for inference (weights stream from HBM every tile
-        # iteration; halving their width is free throughput).
-        variables = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), variables)
+
+    rng_calib = np.random.default_rng(1)
+    calib_imgs = [rng_calib.integers(0, 256, (510, 336, 3),
+                                     dtype=np.uint8)]
 
     # DIV2K-val-like inputs: same 2040x1344 HR output at every scale
     # (the LR side shrinks as the scale grows, like real benchmark use).
@@ -121,41 +148,58 @@ def main() -> int:
         if n_images % mesh_n:
             raise SystemExit(f"BENCH_IMAGES={n_images} not divisible by "
                              f"BENCH_MESH={mesh_n}")
-    tiler = BatchTiledUpscaler(apply_fn, variables, scale, tile, overlap,
-                               mesh=mesh)
-
-    def once() -> float:
-        t0 = time.perf_counter()
-        canvas = tiler.upscale_batch_device(imgs_dev)
-        _ = np.asarray(canvas[0, 0, 0, 0])  # scalar fetch -> force exec
-        return time.perf_counter() - t0
-
-    once()  # compile + warm
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
-    elapsed = min(once() for _ in range(repeats))
-    if profile_dir:
-        jax.profiler.stop_trace()
-        print(f"[bench] trace -> {profile_dir}", file=sys.stderr)
 
     out_mp = n_images * (lr_h * scale) * (lr_w * scale) / 1e6
-    mps = out_mp / elapsed
-    print(f"[bench] {out_mp:.1f} MP in {elapsed:.3f}s", file=sys.stderr)
+    n_chips = mesh_n if mesh_n else 1
+    measured = {}
+    for path in paths:
+        apply_fn, pvars = _build_apply(
+            gen, variables, scale,
+            "int8" if path == "int8-w8a8" else "bf16", fold, calib_imgs)
+        tiler = BatchTiledUpscaler(apply_fn, pvars, scale, tile, overlap,
+                                   mesh=mesh)
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            canvas = tiler.upscale_batch_device(imgs_dev)
+            _ = np.asarray(canvas[0, 0, 0, 0])  # scalar fetch -> exec
+            return time.perf_counter() - t0
+
+        once()  # compile + warm
+        do_profile = profile_dir and path == headline
+        if do_profile:
+            jax.profiler.start_trace(profile_dir)
+        elapsed = min(once() for _ in range(repeats))
+        if do_profile:
+            jax.profiler.stop_trace()
+            print(f"[bench] trace -> {profile_dir}", file=sys.stderr)
+
+        mps = out_mp / elapsed
+        print(f"[bench] {path}: {out_mp:.1f} MP in {elapsed:.3f}s "
+              f"= {mps / n_chips:.2f} MP/s/chip", file=sys.stderr)
+        measured[path] = {
+            "value": round(mps / n_chips, 3),
+            "unit": "MP/s/chip",
+            "vs_baseline": round(mps / n_chips / 50.0, 4),
+        }
+        del tiler
 
     # The contract metric is PER-CHIP: with a mesh the measured number
     # is whole-mesh throughput, so divide by the device count (and
     # record it) rather than report an N-chip run as an N-fold win.
-    n_chips = mesh_n if mesh_n else 1
+    head = measured[headline]
     record = {
         "metric": f"tiled_x{scale}_inference_throughput",
-        "value": round(mps / n_chips, 3),
+        "value": head["value"],
         "unit": "MP/s/chip",
-        "precision": "int8-w8a8" if quant == "int8" else "bf16",
-        "vs_baseline": round(mps / n_chips / 50.0, 4),
+        "precision": headline,
+        "vs_baseline": head["vs_baseline"],
+        "paths": measured,
     }
     if mesh_n:
         record["mesh_devices"] = mesh_n
-        record["mesh_total_mps"] = round(mps, 3)
+        record["mesh_total_mps_headline"] = round(
+            head["value"] * mesh_n, 3)
     print(json.dumps(record))
     return 0
 

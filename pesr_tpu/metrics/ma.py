@@ -101,3 +101,19 @@ def ma_score(img: np.ndarray,
     if model is not None:
         return float(model(img))
     return ma_score_approx(img)
+
+
+def ma_provenance() -> str:
+    """Which Ma predictor ``ma_score`` (without an explicit predictor)
+    is using right now — surfaced in pirm.py's JSON output so consumers
+    can tell forest-backed numbers from the approximation (round-2
+    verdict #4)."""
+    model = _real_model()
+    if model is not None:
+        import os
+        src = os.environ.get("PESR_MA_MODEL", "<explicit path>")
+        embedded = model.arrays.get("provenance")
+        return (f"forest:{src}"
+                + (f" — {embedded}" if embedded is not None else ""))
+    return ("approximation: fixed logistic constants "
+            "(ma.ma_score_approx) — NOT published-Ma comparable")

@@ -177,24 +177,34 @@ def extract_niqe_features(img: np.ndarray, block: int = 96,
 class NiqeModel:
     mu: np.ndarray    # [36]
     cov: np.ndarray   # [36, 36]
+    # Free-text record of what the pristine model was fitted on, carried
+    # in the npz and surfaced by pirm.py's JSON output so downstream
+    # consumers can tell synthetic-fitted scores from natural-image ones
+    # (round-2 verdict #4).
+    provenance: str = ""
 
     def save(self, path: str) -> None:
-        np.savez(path, mu=self.mu, cov=self.cov)
+        np.savez(path, mu=self.mu, cov=self.cov,
+                 provenance=np.str_(self.provenance))
 
     @classmethod
     def load(cls, path: str) -> "NiqeModel":
         data = np.load(path)
-        return cls(mu=data["mu"], cov=data["cov"])
+        prov = (str(data["provenance"]) if "provenance" in data.files
+                else f"{os.path.basename(path)} (no provenance recorded)")
+        return cls(mu=data["mu"], cov=data["cov"], provenance=prov)
 
 
 def fit_niqe_model(images: Iterable[np.ndarray],
-                   sharpness_threshold: float = 0.75) -> NiqeModel:
+                   sharpness_threshold: float = 0.75,
+                   provenance: str = "") -> NiqeModel:
     """Fit the pristine model from HWC uint8 (or [0,255] float) images."""
     feats = np.concatenate([
         extract_niqe_features(img,
                               sharpness_threshold=sharpness_threshold)
         for img in images])
-    return NiqeModel(mu=feats.mean(axis=0), cov=np.cov(feats.T))
+    return NiqeModel(mu=feats.mean(axis=0), cov=np.cov(feats.T),
+                     provenance=provenance)
 
 
 _DEFAULT_MODEL_CACHE: Optional[NiqeModel] = None
@@ -214,7 +224,10 @@ def _default_model() -> NiqeModel:
         from pesr_tpu.data.datasets import SyntheticImages
         src = SyntheticImages(num_images=24, height=480, width=480,
                               seed=1234)
-        model = fit_niqe_model([src.get(i) for i in range(len(src))])
+        model = fit_niqe_model(
+            [src.get(i) for i in range(len(src))],
+            provenance="synthetic-fitted (deterministic synthetic "
+                       "corpus) — NOT comparable to published NIQE")
         try:
             model.save(_DEFAULT_MODEL_PATH)
         except OSError:
@@ -271,7 +284,9 @@ def main(argv=None) -> int:
         raise SystemExit(f"no images under {args.fit_dir}")
     print(f"fitting NIQE pristine model on {len(files)} images ...")
     imgs = (imread_uint8(os.path.join(args.fit_dir, f)) for f in files)
-    model = fit_niqe_model(imgs, args.sharpness_threshold)
+    model = fit_niqe_model(
+        imgs, args.sharpness_threshold,
+        provenance=f"fitted on {args.fit_dir} ({len(files)} images)")
     model.save(args.out)
     print(f"saved {args.out} (mu[0]={model.mu[0]:.4f})")
     return 0

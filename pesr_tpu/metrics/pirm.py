@@ -21,8 +21,8 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from pesr_tpu.metrics.ma import ma_score
-from pesr_tpu.metrics.niqe import NiqeModel, niqe
+from pesr_tpu.metrics.ma import ma_provenance, ma_score
+from pesr_tpu.metrics.niqe import NiqeModel, _default_model, niqe
 
 
 def perceptual_index(img: np.ndarray,
@@ -54,8 +54,14 @@ def evaluate_dir(path: str, niqe_model: Optional[NiqeModel] = None,
         mas.append(m)
         if verbose:
             print(f"{f}: PI {pi:.3f}  NIQE {n:.3f}  Ma~ {m:.3f}")
+    # Provenance fields (round-2 verdict #4): synthetic-fitted /
+    # approximation-backed numbers must be self-describing — a consumer
+    # of this JSON can't otherwise tell them from published-comparable
+    # scores.
     return {"pi": float(np.mean(pis)), "niqe": float(np.mean(niqes)),
-            "ma": float(np.mean(mas)), "n_images": len(files)}
+            "ma": float(np.mean(mas)), "n_images": len(files),
+            "niqe_model": (niqe_model or _default_model()).provenance,
+            "ma_model": ma_provenance()}
 
 
 def main(argv=None) -> int:

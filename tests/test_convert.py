@@ -63,6 +63,7 @@ def torch_gen():
     return m
 
 
+@pytest.mark.slow
 def test_generator_conversion_forward_parity(torch_gen):
     params = convert_torch_generator(torch_gen.state_dict(), BLOCKS, SCALE)
 

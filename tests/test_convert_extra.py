@@ -85,6 +85,7 @@ def test_pirm_evaluate_dir_smoke(tmp_path):
         assert np.isfinite(result[key])
 
 
+@pytest.mark.slow
 def test_convert_cli_discriminator_kind(tmp_path):
     """python -m pesr_tpu.convert --kind discriminator end-to-end:
     torch SRGAN-D .pth -> orbax payload with a 'd' tree."""

@@ -29,6 +29,7 @@ def _batch(opts, seed=0):
 
 @pytest.mark.parametrize("gan_type", ["GAN", "LSGAN", "RSGAN", "RaSGAN",
                                       "RaLSGAN"])
+@pytest.mark.slow
 def test_gan_step_every_gan_type(gan_type):
     opts = dataclasses.replace(TINY, gan_type=gan_type)
     gen, disc = build_generator(opts), build_discriminator(opts)

@@ -2,6 +2,7 @@
 reference's absent race-detection story with fixed-PRNG determinism
 guarantees — same seed, same machine => bitwise-same results)."""
 
+import pytest
 import dataclasses
 
 import numpy as np
@@ -36,6 +37,7 @@ def _run_steps(seed: int, n: int = 3):
     return losses, jax.device_get(g_state.params)
 
 
+@pytest.mark.slow
 def test_training_bitwise_deterministic():
     l1, p1 = _run_steps(seed=3)
     l2, p2 = _run_steps(seed=3)
@@ -45,6 +47,7 @@ def test_training_bitwise_deterministic():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_different_seeds_diverge():
     l1, _ = _run_steps(seed=3)
     l2, _ = _run_steps(seed=4)

@@ -8,6 +8,7 @@ a diff against the committed array (tests/goldens/, regenerated only by
 a deliberate scripted decision).
 """
 
+import pytest
 import os
 
 import numpy as np
@@ -20,6 +21,7 @@ _GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
                        "generator_forward.npz")
 
 
+@pytest.mark.slow
 def test_generator_forward_matches_committed_golden():
     gen = Generator(scale=4, num_blocks=3, num_channels=12,
                     dtype=jnp.float32)

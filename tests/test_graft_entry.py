@@ -2,9 +2,12 @@
 inside the test env (conftest provides 8 devices), pinning the exact
 code path the external driver executes."""
 
+import pytest
+
 import __graft_entry__
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_two_devices(capsys):
     __graft_entry__.dryrun_multichip(2)
     out = capsys.readouterr().out

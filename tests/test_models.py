@@ -55,6 +55,7 @@ def test_discriminator_logits_shape():
     assert logits.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_discriminator_spectral_norm_runs():
     d = Discriminator(spectral_norm=True, dtype=jnp.float32)
     x = jax.random.normal(jax.random.key(2), (2, 48, 48, 3))

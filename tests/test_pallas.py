@@ -106,6 +106,7 @@ def test_fused_upsampler_matches_torch_pixel_shuffle_order():
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_apply_matches_generator_apply():
     """The full --use_pallas inference path must reproduce
     models.Generator.apply on the same params tree."""

@@ -2,6 +2,7 @@
 the real int8 inference conv, gradients must flow through the STE, and
 the --phase qat loop must run end-to-end."""
 
+import pytest
 import dataclasses
 
 import numpy as np
@@ -91,6 +92,7 @@ def test_qat_apply_shapes_and_loss_decreases():
     assert last < first * 0.9, (first, last)
 
 
+@pytest.mark.slow
 def test_phase_qat_end_to_end(tmp_path):
     from pesr_tpu.training.loop import run_training
     opts = dataclasses.replace(

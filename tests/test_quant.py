@@ -116,6 +116,7 @@ def test_default_calib_tiles_shapes_and_range():
     assert tiles[0].min() >= -1.0 and tiles[0].max() <= 1.0
 
 
+@pytest.mark.slow
 def test_int8_psnr_delta_on_trained_checkpoint():
     """The parity budget (BASELINE.md: 0.05 dB): int8 W8A8 vs bf16-path
     PSNR on the committed demo checkpoint over real eval images."""

@@ -5,6 +5,7 @@ the tiled result equals the whole-image forward on the interior (the
 border band legitimately differs: tiling replicate-pads at the true
 image border while a whole-image SAME conv zero-pads)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -191,6 +192,7 @@ def test_warmup_many_compiles_each_program_once():
     assert sorted(calls) == [(4, 24, 24, 3), (8, 24, 24, 3)]
 
 
+@pytest.mark.slow
 def test_update_variables_hot_swaps_without_recompile():
     """Serving contract (README "Serving / embedding"): swapping
     checkpoints via update_variables changes the outputs, matches a
@@ -323,3 +325,99 @@ def test_self_ensemble_averages_unquantized_branches():
                                 np.zeros((4, 4, 3), np.uint8))
     assert out.dtype == np.uint8
     np.testing.assert_array_equal(out, np.full((8, 8, 3), 100, np.uint8))
+
+
+def test_batch_se_device_matches_host_composition():
+    """Device-resident x8 TTA (round-2 verdict weak #8) must equal the
+    numpy-composed reference built on the same engine's float program:
+    verifies transform/inverse ordering, transposed-grid crops, and the
+    single rounding."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+
+    variables = _gen_params()
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 255, (2, 20, 28, 3), dtype=np.uint8)
+    eng = BatchTiledUpscaler(GEN.apply, variables, SCALE, tile_size=16,
+                             overlap=8)
+    got = np.asarray(eng.upscale_batch_se_device(imgs))
+
+    acc = None
+    for t in range(8):
+        b = imgs
+        if t & 1:
+            b = b[:, ::-1]
+        if t & 2:
+            b = b[:, :, ::-1]
+        if t & 4:
+            b = np.swapaxes(b, 1, 2)
+        h2, w2 = b.shape[1:3]
+        sr = np.asarray(eng._dispatch(
+            np.ascontiguousarray(b), float_out=True)
+        )[:, :h2 * SCALE, :w2 * SCALE]
+        if t & 4:
+            sr = np.swapaxes(sr, 1, 2)
+        if t & 2:
+            sr = sr[:, :, ::-1]
+        if t & 1:
+            sr = sr[:, ::-1]
+        acc = sr if acc is None else acc + sr  # float32, device order
+    want = np.clip(np.floor(acc / 8.0 + 0.5), 0, 255).astype(np.uint8)
+    assert got.shape == want.shape == (2, 40, 56, 3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_se_device_equivariant_model_is_identity():
+    """With a dihedral-equivariant apply (nearest-neighbor upsample) all
+    eight branches coincide, so SE must return exactly the plain
+    upscale — any axis/ordering bug in the transform plumbing scatters
+    pixels and breaks equality."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+
+    def apply_fn(variables, x):
+        return jnp.repeat(jnp.repeat(x, SCALE, axis=1), SCALE, axis=2)
+
+    rng = np.random.default_rng(12)
+    imgs = rng.integers(0, 255, (2, 20, 28, 3), dtype=np.uint8)
+    eng = BatchTiledUpscaler(apply_fn, {}, SCALE, tile_size=16,
+                             overlap=8)
+    got = np.asarray(eng.upscale_batch_se_device(imgs))
+    want = np.repeat(np.repeat(imgs, SCALE, axis=1), SCALE, axis=2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_se_device_mesh_matches_single():
+    """SE over a DP mesh: dihedral transforms never touch the batch
+    axis, so the mesh engine must reproduce the single-device SE
+    bit-exactly (and keep the batch sharded)."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    from pesr_tpu.parallel import make_mesh
+
+    variables = _gen_params()
+    rng = np.random.default_rng(13)
+    imgs = rng.integers(0, 255, (8, 20, 20, 3), dtype=np.uint8)
+
+    solo = BatchTiledUpscaler(GEN.apply, variables, SCALE, tile_size=16,
+                              overlap=8)
+    dp = BatchTiledUpscaler(GEN.apply, variables, SCALE, tile_size=16,
+                            overlap=8, mesh=make_mesh(8))
+    np.testing.assert_array_equal(
+        np.asarray(dp.upscale_batch_se_device(imgs)),
+        np.asarray(solo.upscale_batch_se_device(imgs)))
+
+
+def test_upscale_many_se_flag_matches_batch_se():
+    """test.py's --self_ensemble path: upscale_many(se=True) groups and
+    batches exactly like the plain path but runs the SE kernel."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+
+    variables = _gen_params()
+    rng = np.random.default_rng(14)
+    imgs = [rng.integers(0, 255, shp, dtype=np.uint8)
+            for shp in [(20, 28, 3), (16, 16, 3), (20, 28, 3)]]
+    eng = BatchTiledUpscaler(GEN.apply, variables, SCALE, tile_size=16,
+                             overlap=8)
+    eng.warmup_many(imgs, batch_size=2, se=True)
+    got = eng.upscale_many(imgs, batch_size=2, se=True)
+    for im, sr in zip(imgs, got):
+        ref = np.asarray(eng.upscale_batch_se_device(im[None]))[0]
+        np.testing.assert_array_equal(sr, ref)

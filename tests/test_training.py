@@ -49,6 +49,7 @@ def test_pretrain_loss_decreases():
     assert last < first * 0.7, (first, last)
 
 
+@pytest.mark.slow
 def test_gan_step_updates_both_nets_and_is_finite():
     opts = TINY
     gen, disc = build_generator(opts), build_discriminator(opts)
@@ -82,6 +83,7 @@ def test_gan_step_updates_both_nets_and_is_finite():
     assert _max_delta(d0, jax.device_get(d_state.params)) > 0
 
 
+@pytest.mark.slow
 def test_gan_step_with_gp_and_focal_runs():
     opts = dataclasses.replace(TINY, use_gp=True, focal_loss=True,
                                fl_gamma=1.0, gan_type="RaSGAN",
@@ -98,6 +100,7 @@ def test_gan_step_with_gp_and_focal_runs():
     assert "vgg" not in metrics
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device():
     """The same global batch must produce (numerically) the same update
     whether the mesh has 1 or 8 devices — grads are a global batch mean
@@ -124,6 +127,7 @@ def test_data_parallel_matches_single_device():
         np.testing.assert_allclose(a, b_, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gan_step_data_parallel_matches_single_device():
     """GAN-step 1-vs-8 equivalence (round-1 verdict weak #4): the GAN
     step adds batch-stat normalization in D (global batch statistics),
@@ -229,6 +233,7 @@ def test_epoch_length_derives_from_num_repeats(tmp_path):
     assert summary["steps"] == 8
 
 
+@pytest.mark.slow
 def test_restore_train_state_full_roundtrip(tmp_path):
     """Resume restores params AND optimizer state onto fresh templates
     (SURVEY.md §5.4)."""
@@ -309,6 +314,7 @@ def test_initialize_distributed_required_semantics(monkeypatch):
         initialize_distributed(required=True)
 
 
+@pytest.mark.slow
 def test_interrupt_checkpoint_and_resume(tmp_path, monkeypatch):
     """Failure recovery (SURVEY.md §5.3): an interrupt mid-epoch saves a
     best-effort checkpoint, and --resume continues from that exact step
@@ -359,6 +365,7 @@ def test_interrupt_checkpoint_and_resume(tmp_path, monkeypatch):
     assert summary["steps"] == 8  # 2 epochs x 4, no overshoot
 
 
+@pytest.mark.slow
 def test_run_training_loads_pretrained_discriminator(tmp_path):
     """--pretrained_d end-to-end: a converted/saved 'd' payload
     initializes the GAN-phase discriminator (round-2 review: the
