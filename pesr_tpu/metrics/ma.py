@@ -6,9 +6,12 @@ statistics + trained regression forests) distributed only as MATLAB
 code + trained weights; neither is on this machine nor reproducible
 without the training corpus.  This module provides:
 
-  * ``ma_score(img, predictor=None)`` — uses a plugged-in predictor
-    when the user supplies one (any callable returning [0, 10]), else
-    the built-in approximation below;
+  * ``ma_score(img, predictor=None)`` — resolution order: explicit
+    ``predictor`` > ``$PESR_MA_MODEL`` forest npz > the packaged
+    synthetic-fitted forest (``ma_model_synthetic.npz``, fit_ma.py —
+    the genuine 3-family feature pipeline + forest predictor,
+    ordering-verified on held-out degradations) > the approximation
+    below; ``ma_provenance()`` reports which one is active;
   * ``ma_score_approx`` — a fixed, documented approximation built from
     the same statistic families the real regressor consumes (local
     frequency-energy distribution and MSCN spread), mapped to [0, 10].
@@ -74,19 +77,39 @@ def ma_score_approx(img: np.ndarray, block: int = 32) -> float:
 
 
 _REAL_MODEL = None
-_REAL_MODEL_CHECKED = False
+_REAL_MODEL_SOURCE = None  # env value the cache was resolved against
+
+# Synthetic-fitted default forest (metrics/fit_ma.py): the genuine
+# 3-family feature pipeline + forest predictor, ordering-verified on
+# held-out degradations.  $PESR_MA_MODEL (converted MATLAB TreeBagger
+# weights) overrides it the moment real weights exist.
+_DEFAULT_FOREST_PATH = __file__.replace(
+    "ma.py", "ma_model_synthetic.npz")
 
 
 def _real_model():
-    """Lazily load the real Ma regressor ($PESR_MA_MODEL) once — the
-    full feature pipeline lives in metrics/ma_features.py and activates
-    with zero code changes the moment converted weights exist."""
-    global _REAL_MODEL, _REAL_MODEL_CHECKED
-    if not _REAL_MODEL_CHECKED:
+    """Resolve the forest-backed Ma regressor: $PESR_MA_MODEL >
+    packaged synthetic-fitted forest > None (callers fall back to
+    ma_score_approx).  Cached per env-var value — cheap to call per
+    image, re-resolves if the env changes (tests, notebook use)."""
+    global _REAL_MODEL, _REAL_MODEL_SOURCE
+    import os
+
+    env = os.environ.get("PESR_MA_MODEL", "")
+    if _REAL_MODEL_SOURCE != env:
         from pesr_tpu.metrics.ma_features import load_ma_model
         _REAL_MODEL = load_ma_model()
-        _REAL_MODEL_CHECKED = True
+        if _REAL_MODEL is None and os.path.exists(_DEFAULT_FOREST_PATH):
+            _REAL_MODEL = load_ma_model(_DEFAULT_FOREST_PATH)
+        _REAL_MODEL_SOURCE = env
     return _REAL_MODEL
+
+
+def _model_source() -> str:
+    """Path the active forest came from ('' when none is loaded)."""
+    if _real_model() is None:
+        return ""
+    return _REAL_MODEL_SOURCE or _DEFAULT_FOREST_PATH
 
 
 def ma_score(img: np.ndarray,
@@ -110,10 +133,8 @@ def ma_provenance() -> str:
     verdict #4)."""
     model = _real_model()
     if model is not None:
-        import os
-        src = os.environ.get("PESR_MA_MODEL", "<explicit path>")
         embedded = model.arrays.get("provenance")
-        return (f"forest:{src}"
+        return (f"forest:{_model_source()}"
                 + (f" — {embedded}" if embedded is not None else ""))
     return ("approximation: fixed logistic constants "
             "(ma.ma_score_approx) — NOT published-Ma comparable")

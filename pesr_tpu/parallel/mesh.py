@@ -109,17 +109,39 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 
 def initialize_distributed(required: bool = False) -> bool:
     """Multi-host bring-up: call once per process BEFORE any backend use
-    on multi-host slices (reads the standard cluster env vars: coordinator
-    address, process id/count).  Returns True when a multi-process
-    runtime came up.
+    on multi-host slices.  Returns True when a multi-process runtime
+    came up.
+
+    Cluster configuration, in priority order:
+      1. ``PESR_COORDINATOR`` / ``PESR_NUM_PROCESSES`` /
+         ``PESR_PROCESS_ID`` env vars — manual bring-up for launchers
+         jax cannot auto-detect (plain ssh/mpirun-less fleets, the
+         2-process CPU test in tests/test_distributed.py).  On a CPU
+         backend this also selects gloo cross-process collectives,
+         which jax does not enable by default.
+      2. jax's own auto-detection (TPU pods, SLURM, Open MPI).
 
     ``required=False`` (default) is safe to call unconditionally — on
     single-host setups with no coordinator configured it is a no-op.
     ``required=True`` (the ``--distributed`` flag) re-raises so a
     mis-configured cluster fails loudly instead of silently training
     single-host."""
+    kwargs = {}
+    coord = os.environ.get("PESR_COORDINATOR", "")
+    if coord:
+        kwargs = dict(
+            coordinator_address=coord,
+            num_processes=int(os.environ["PESR_NUM_PROCESSES"]),
+            process_id=int(os.environ["PESR_PROCESS_ID"]))
+        try:
+            # Cross-process collectives on CPU need an explicit
+            # implementation; a no-op on backends that ignore it.
+            jax.config.update("jax_cpu_collectives_implementation",
+                              "gloo")
+        except Exception:
+            pass
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
         return True
     except Exception:
         if required:

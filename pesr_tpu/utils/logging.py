@@ -42,6 +42,16 @@ class MetricLogger:
     def __init__(self, log_dir: Optional[str], name: str = "train") -> None:
         self._fh = None
         self._tb = None
+        # Multi-host: scalars are replicated, so every process would
+        # append identical records to the SAME file on shared storage
+        # (interleaved corruption).  Only process 0 writes; stdout stays
+        # per-process (each host's launcher captures its own).
+        try:
+            import jax
+            if jax.process_index() != 0:
+                log_dir = None
+        except Exception:
+            pass
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._fh = open(os.path.join(log_dir, f"{name}.jsonl"), "a",
