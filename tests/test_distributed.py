@@ -139,3 +139,39 @@ def _flatten(tree, prefix=""):
     else:
         out[prefix] = np.asarray(tree)
     return out
+
+
+def test_initialize_distributed_env_config(monkeypatch):
+    """Fast unit check of the PESR_* env contract: explicit coordinator
+    kwargs reach jax.distributed.initialize, and without them the call
+    stays argless (jax auto-detection)."""
+    import jax
+
+    from pesr_tpu.parallel import mesh as mesh_mod
+
+    captured = {}
+
+    def fake_init(**kwargs):
+        captured.update(kwargs)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setenv("PESR_COORDINATOR", "10.0.0.1:1234")
+    monkeypatch.setenv("PESR_NUM_PROCESSES", "4")
+    monkeypatch.setenv("PESR_PROCESS_ID", "2")
+    assert mesh_mod.initialize_distributed(required=True)
+    assert captured == {"coordinator_address": "10.0.0.1:1234",
+                        "num_processes": 4, "process_id": 2}
+
+    captured.clear()
+    monkeypatch.delenv("PESR_COORDINATOR")
+    assert mesh_mod.initialize_distributed()
+    assert captured == {}
+
+    # A mis-configured cluster fails loudly only with required=True.
+    def boom(**kwargs):
+        raise RuntimeError("no cluster")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    assert mesh_mod.initialize_distributed() is False
+    with pytest.raises(RuntimeError, match="no cluster"):
+        mesh_mod.initialize_distributed(required=True)
