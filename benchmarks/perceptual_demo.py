@@ -56,12 +56,44 @@ def evaluate(ckpt: str, tag: str) -> dict:
     return out
 
 
+def _slim_to_generator(ckpt_dir: str) -> None:
+    """Rewrite the experiment dir as a generator-params-only step dir.
+
+    The full GAN training checkpoint (G+D+optimizer states, twice with
+    the best copy) is ~0.5 GB — committable demo artifacts keep just
+    what test.py consumes (~3.5 MB); re-running this script regenerates
+    the full state if a GAN resume is wanted."""
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    from pesr_tpu.training.checkpoint import (latest_step_dir,
+                                              restore_payload)
+
+    step_dir = latest_step_dir(ckpt_dir)
+    payload = restore_payload(step_dir)
+    slim = {"step": payload["step"],
+            "g": {"params": payload["g"]["params"]}}
+    name = os.path.basename(step_dir)
+    for entry in os.listdir(ckpt_dir):
+        p = os.path.join(ckpt_dir, entry)
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(ckpt_dir, name), slim, force=True)
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--steps", type=int, default=1500)
-    p.add_argument("--alpha_vgg", type=float, default=50.0)
-    p.add_argument("--alpha_gan", type=float, default=1.0)
-    p.add_argument("--alpha_l1", type=float, default=1.0)
+    # Defaults = the recipe that demonstrated the trade on this corpus
+    # (PI 11.47 -> 8.29 at 0.83 dB; demo/README.md).  The reference's
+    # ImageNet-VGG54 weighting (alpha_vgg 50, alpha_gan 1, no L1)
+    # collapses here — the synthetic VGG22 anchor has different
+    # magnitudes and the corpus is smooth, so the adversarial term
+    # needs a 10x stronger pixel/perceptual anchor against it.
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--alpha_vgg", type=float, default=100.0)
+    p.add_argument("--alpha_gan", type=float, default=0.1)
+    p.add_argument("--alpha_l1", type=float, default=20.0)
     p.add_argument("--gan_type", default="RSGAN")
     p.add_argument("--out", default=os.path.join(REPO, "demo",
                                                  "checkpoint_gan"))
@@ -69,11 +101,10 @@ def main() -> int:
                                                  "vgg_synthetic"))
     args = p.parse_args()
 
-    from tpu_lease import acquire_tpu
-    acquire_tpu()
-    from pesr_tpu.utils.cache import enable_compile_cache
-    enable_compile_cache()
-
+    # Train the trunk in a child process BEFORE this process touches
+    # jax: the dev-harness TPU is single-tenant, so a parent that has
+    # already acquired the lease starves any child trying to (the
+    # lease lives for the process lifetime).
     if not os.path.isdir(args.vgg):
         print("[demo] no VGG trunk yet — training one "
               "(benchmarks/pretrain_vgg.py)", flush=True)
@@ -81,6 +112,11 @@ def main() -> int:
                         os.path.join(REPO, "benchmarks",
                                      "pretrain_vgg.py"),
                         "--out", args.vgg], check=True)
+
+    from tpu_lease import acquire_tpu
+    acquire_tpu()
+    from pesr_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     base_ckpt = os.path.join(REPO, "demo", "checkpoint")
     before = evaluate(base_ckpt, "L1 baseline")
@@ -98,6 +134,7 @@ def main() -> int:
         alpha_gan=args.alpha_gan, alpha_l1=args.alpha_l1)
     run_training(opts)
 
+    _slim_to_generator(args.out)
     after = evaluate(args.out, "GAN fine-tune")
     summary = {
         "before": before, "after": after,
@@ -110,8 +147,9 @@ def main() -> int:
     }
     print(json.dumps(summary))
     win = summary["pi_delta"] < 0
-    print(f"[demo] perceptual trade: PI {'improved' if win else 'DID "
-          f"NOT improve'} by {-summary['pi_delta']:.3f} at a cost of "
+    verdict = "improved" if win else "DID NOT improve"
+    print(f"[demo] perceptual trade: PI {verdict} by "
+          f"{-summary['pi_delta']:.3f} at a cost of "
           f"{summary['psnr_cost_db']:.2f} dB PSNR")
     return 0 if win else 1
 
