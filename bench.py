@@ -106,10 +106,17 @@ def main() -> int:
     mesh_n = int(os.environ.get("BENCH_MESH", "0"))  # 0 = no mesh
 
     headline = "int8-w8a8" if quant == "int8" else "bf16"
-    path_names = [p.strip() for p in
-                  os.environ.get("BENCH_PATHS", "int8,bf16").split(",")
-                  if p.strip()]
-    paths = ["int8-w8a8" if p == "int8" else "bf16" for p in path_names]
+    _CANON = {"int8": "int8-w8a8", "int8-w8a8": "int8-w8a8",
+              "bf16": "bf16"}
+    paths = []
+    for name in os.environ.get("BENCH_PATHS", "int8,bf16").split(","):
+        name = name.strip()
+        if not name:
+            continue
+        if name not in _CANON:  # typos must fail, not measure bf16
+            raise SystemExit(f"BENCH_PATHS: unknown path {name!r} "
+                             f"(valid: {sorted(set(_CANON))})")
+        paths.append(_CANON[name])
     if headline not in paths:
         paths.insert(0, headline)
 

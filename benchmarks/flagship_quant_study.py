@@ -25,7 +25,6 @@ fallback), "int8" is W8A8 calibrated on the eval set's own LR tiles.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -143,10 +142,17 @@ def main() -> int:
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)
     print(json.dumps(rows))
-    budget_ok = all(min(r["pre_qat"]["delta_db"],
-                        r["post_qat"]["delta_db"]) <= 0.05 for r in rows)
-    print(f"[study] 0.05 dB budget: {'MET' if budget_ok else 'MISSED'}")
-    return 0 if budget_ok else 1
+    # Report the budgets separately: bench.py's default headline is
+    # calibrated PTQ (no QAT), so the PTQ verdict is what backs the
+    # shipped path; the QAT verdict records the available mitigation
+    # (round-3 review: min() of the two could claim MET for a path
+    # nobody runs by default).
+    ptq_ok = all(r["pre_qat"]["delta_db"] <= 0.05 for r in rows)
+    qat_ok = all(r["post_qat"]["delta_db"] <= 0.05 for r in rows)
+    print(f"[study] 0.05 dB budget — PTQ (bench default path): "
+          f"{'MET' if ptq_ok else 'MISSED'}; after QAT: "
+          f"{'MET' if qat_ok else 'MISSED'}")
+    return 0 if (ptq_ok or qat_ok) else 1
 
 
 if __name__ == "__main__":

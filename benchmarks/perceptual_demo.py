@@ -7,8 +7,8 @@ the perceptual anchor, a GAN fine-tune from the demo checkpoint, and a
 before/after PSNR + PIRM-PI comparison (forest-backed Ma + synthetic
 NIQE — provenance-tagged, relative comparisons only):
 
-    python benchmarks/perceptual_demo.py [--steps 1500]
-        [--alpha_vgg 50] [--alpha_gan 1] [--alpha_l1 1]
+    python benchmarks/perceptual_demo.py [--steps 1000]
+        [--alpha_vgg 100] [--alpha_gan 0.1] [--alpha_l1 20]
 
 Success criterion (BASELINE.json:9 analog): PI improves (drops) vs the
 L1 checkpoint while PSNR gives up a bounded amount — the perceptual
@@ -19,7 +19,6 @@ weights.  Writes demo/checkpoint_gan and prints a JSON summary.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import subprocess

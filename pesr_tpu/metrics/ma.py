@@ -24,6 +24,7 @@ without the training corpus.  This module provides:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import numpy as np
@@ -77,14 +78,15 @@ def ma_score_approx(img: np.ndarray, block: int = 32) -> float:
 
 
 _REAL_MODEL = None
-_REAL_MODEL_SOURCE = None  # env value the cache was resolved against
+_REAL_MODEL_PATH = ""    # path the loaded forest actually came from
+_RESOLVED_ENV = None     # env value the cache was resolved against
 
 # Synthetic-fitted default forest (metrics/fit_ma.py): the genuine
 # 3-family feature pipeline + forest predictor, ordering-verified on
 # held-out degradations.  $PESR_MA_MODEL (converted MATLAB TreeBagger
 # weights) overrides it the moment real weights exist.
-_DEFAULT_FOREST_PATH = __file__.replace(
-    "ma.py", "ma_model_synthetic.npz")
+_DEFAULT_FOREST_PATH = os.path.join(os.path.dirname(__file__),
+                                    "ma_model_synthetic.npz")
 
 
 def _real_model():
@@ -92,24 +94,31 @@ def _real_model():
     packaged synthetic-fitted forest > None (callers fall back to
     ma_score_approx).  Cached per env-var value — cheap to call per
     image, re-resolves if the env changes (tests, notebook use)."""
-    global _REAL_MODEL, _REAL_MODEL_SOURCE
-    import os
+    global _REAL_MODEL, _REAL_MODEL_PATH, _RESOLVED_ENV
 
     env = os.environ.get("PESR_MA_MODEL", "")
-    if _REAL_MODEL_SOURCE != env:
+    if _RESOLVED_ENV != env:
         from pesr_tpu.metrics.ma_features import load_ma_model
         _REAL_MODEL = load_ma_model()
-        if _REAL_MODEL is None and os.path.exists(_DEFAULT_FOREST_PATH):
-            _REAL_MODEL = load_ma_model(_DEFAULT_FOREST_PATH)
-        _REAL_MODEL_SOURCE = env
+        _REAL_MODEL_PATH = env if _REAL_MODEL is not None else ""
+        if _REAL_MODEL is None:
+            if env:
+                # Provenance must reflect what actually loaded, never
+                # the user's intent (round-3 review).
+                print(f"[ma] WARNING: PESR_MA_MODEL={env} does not "
+                      "exist; falling back to the packaged "
+                      "synthetic-fitted forest")
+            if os.path.exists(_DEFAULT_FOREST_PATH):
+                _REAL_MODEL = load_ma_model(_DEFAULT_FOREST_PATH)
+                _REAL_MODEL_PATH = _DEFAULT_FOREST_PATH
+        _RESOLVED_ENV = env
     return _REAL_MODEL
 
 
 def _model_source() -> str:
-    """Path the active forest came from ('' when none is loaded)."""
-    if _real_model() is None:
-        return ""
-    return _REAL_MODEL_SOURCE or _DEFAULT_FOREST_PATH
+    """Path the active forest was actually loaded from ('' if none)."""
+    _real_model()
+    return _REAL_MODEL_PATH
 
 
 def ma_score(img: np.ndarray,

@@ -7,9 +7,11 @@ with the same directory-level workflow:
 
     python -m pesr_tpu.metrics.pirm --dir results/Set5
 
-Caveat inherited from metrics.ma: the Ma term is a documented
-approximation until real regressor weights are plugged in; NIQE is
-exact given a pristine model (metrics.niqe).
+Ma term: forest-backed by default (the packaged synthetic-fitted
+forest, or converted TreeBagger weights via $PESR_MA_MODEL —
+metrics/ma.py resolution order); NIQE is exact given a pristine model
+(metrics.niqe).  Neither default is published-number comparable, so the
+JSON output carries ``ma_model``/``niqe_model`` provenance fields.
 """
 
 from __future__ import annotations

@@ -129,10 +129,20 @@ def initialize_distributed(required: bool = False) -> bool:
     kwargs = {}
     coord = os.environ.get("PESR_COORDINATOR", "")
     if coord:
-        kwargs = dict(
-            coordinator_address=coord,
-            num_processes=int(os.environ["PESR_NUM_PROCESSES"]),
-            process_id=int(os.environ["PESR_PROCESS_ID"]))
+        # Setting PESR_COORDINATOR is explicit intent: a half-configured
+        # cluster fails loudly with a readable message even under
+        # required=False (silently training single-host would be worse;
+        # a bare KeyError from os.environ worse still — round-3 review).
+        try:
+            kwargs = dict(
+                coordinator_address=coord,
+                num_processes=int(os.environ["PESR_NUM_PROCESSES"]),
+                process_id=int(os.environ["PESR_PROCESS_ID"]))
+        except (KeyError, ValueError) as e:
+            raise ValueError(
+                "PESR_COORDINATOR is set, so PESR_NUM_PROCESSES and "
+                "PESR_PROCESS_ID must both be integers (unset "
+                f"PESR_COORDINATOR for single-host runs): {e!r}") from e
         try:
             # Cross-process collectives on CPU need an explicit
             # implementation; a no-op on backends that ignore it.

@@ -246,16 +246,29 @@ def run_training(opts: Opts) -> Dict[str, float]:
         # The in-flight step's donated buffers may already be invalid
         # (donate_argnums); save best-effort and point at the last good
         # snapshot when the live state is unrecoverable.
-        try:
-            path = ckpt.save_train_ckpt(
-                opts.check_point, locals_box["step"], locals_box["g"],
-                locals_box["d"], best_psnr=locals_box.get("best_psnr"))
-            print(f"\n[interrupt] checkpoint saved to {path}; resume "
-                  f"with --resume --check_point {opts.check_point}")
-        except Exception as e:  # deleted/donated arrays
-            last = ckpt.latest_step_dir(opts.check_point)
-            print(f"\n[interrupt] live state unrecoverable ({e}); last "
-                  f"snapshot: {last}")
+        #
+        # Single-process only: orbax saves are COLLECTIVE (they barrier
+        # across hosts, checkpoint.py), and a signal delivered to one
+        # host of a multi-process run would park it at a barrier the
+        # others never reach.  Multi-host preemption recovery rides the
+        # epoch-boundary snapshots, whose control flow is identical on
+        # every host (round-3 review).
+        if jax.process_count() == 1:
+            try:
+                path = ckpt.save_train_ckpt(
+                    opts.check_point, locals_box["step"],
+                    locals_box["g"], locals_box["d"],
+                    best_psnr=locals_box.get("best_psnr"))
+                print(f"\n[interrupt] checkpoint saved to {path}; resume "
+                      f"with --resume --check_point {opts.check_point}")
+            except Exception as e:  # deleted/donated arrays
+                last = ckpt.latest_step_dir(opts.check_point)
+                print(f"\n[interrupt] live state unrecoverable ({e}); "
+                      f"last snapshot: {last}")
+        else:
+            print(f"\n[interrupt] multi-host run: skipping the "
+                  f"interrupt save (collective); last snapshot: "
+                  f"{ckpt.latest_step_dir(opts.check_point)}")
         raise
     finally:
         # ALWAYS release the prefetch thread (and its pinned decoded
@@ -272,6 +285,17 @@ def run_training(opts: Opts) -> Dict[str, float]:
     summary["steps"] = global_step
     summary["wall_s"] = time.time() - t_start
     return summary
+
+
+def _all_hosts_agree(ok: bool) -> bool:
+    """True iff ``ok`` on EVERY process — the cheap collective that
+    keeps later collectives (orbax saves) from deadlocking on divergent
+    per-host control flow.  Single-process: just ``ok``."""
+    if jax.process_count() == 1:
+        return ok
+    from jax.experimental import multihost_utils
+    flags = multihost_utils.process_allgather(np.asarray([bool(ok)]))
+    return bool(np.all(flags))
 
 
 def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
@@ -333,31 +357,52 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                 pending.clear()
 
         if (epoch + 1) % opts.eval_every == 0:
+            # Multi-host discipline: save_best_ckpt is a COLLECTIVE
+            # (orbax barriers, checkpoint.py), and this block is the one
+            # place per-host control flow can diverge — the eval set
+            # loads from each host's own disk, so a missing/partial
+            # dataset on a subset of hosts would strand the rest at the
+            # save barrier.  All hosts agree on load success before any
+            # of them proceeds (round-3 review); once samples are
+            # loaded, val metrics are deterministic functions of
+            # replicated state + identical files, so the best-ckpt
+            # condition stays consistent across hosts.
+            err = None
             try:
                 if "eval_samples" not in box:
                     box["eval_samples"] = datasets.load_eval_set(
                         opts, opts.valid_dataset, opts.num_valids)
-                val = evaluate(
-                    opts, g_state.apply_fn, g_state.params,
-                    tiler=eval_tiler, samples=box["eval_samples"],
-                    compute_pi=opts.eval_pi)
-                logger.log(global_step, val, prefix="val")
-                summary.update(val)
-                val_psnr = val.get("val_psnr", float("-inf"))
-                # Best-PSNR checkpoint (SURVEY.md §5.4: the reference
-                # keeps a best copy alongside the periodic snapshots);
-                # the prior best survives --resume via the payload.
-                if val_psnr > (box.get("best_psnr") or -1.0):
-                    box["best_psnr"] = val_psnr
-                    path = ckpt.save_best_ckpt(opts.check_point,
-                                               global_step, g_state,
-                                               d_state,
-                                               best_psnr=val_psnr)
-                    print(f"[ckpt] new best val_psnr={val_psnr:.2f} "
-                          f"-> {path}")
-                    summary["best_psnr"] = val_psnr
             except (FileNotFoundError, ValueError) as e:
-                print(f"[val] skipped: {e}")
+                err = e
+            if not _all_hosts_agree(err is None):
+                print(f"[val] skipped: "
+                      f"{err or 'eval set missing on another host'}")
+            else:
+                try:
+                    val = evaluate(
+                        opts, g_state.apply_fn, g_state.params,
+                        tiler=eval_tiler, samples=box["eval_samples"],
+                        compute_pi=opts.eval_pi)
+                    logger.log(global_step, val, prefix="val")
+                    summary.update(val)
+                    val_psnr = val.get("val_psnr", float("-inf"))
+                    # Best-PSNR checkpoint (SURVEY.md §5.4: the
+                    # reference keeps a best copy alongside the periodic
+                    # snapshots); the prior best survives --resume via
+                    # the payload.
+                    if val_psnr > (box.get("best_psnr") or -1.0):
+                        box["best_psnr"] = val_psnr
+                        path = ckpt.save_best_ckpt(opts.check_point,
+                                                   global_step, g_state,
+                                                   d_state,
+                                                   best_psnr=val_psnr)
+                        print(f"[ckpt] new best val_psnr="
+                              f"{val_psnr:.2f} -> {path}")
+                        summary["best_psnr"] = val_psnr
+                except ValueError as e:
+                    # Ground-truth-less set + PI disabled: identical
+                    # data on every host -> every host raises alike.
+                    print(f"[val] skipped: {e}")
 
         if (epoch + 1) % opts.snapshot_every == 0 \
                 or epoch + 1 == opts.num_epochs:

@@ -108,26 +108,6 @@ def main(argv=None) -> int:
         run = lambda: [self_ensemble_upscale(engine, lr)  # noqa: E731
                        for lr in lrs]
         print("whole-image mode (no tiling) + x8 self-ensemble")
-    elif opts.self_ensemble:
-        # Device-resident x8 TTA: same auto-tiled fast engine as the
-        # plain path; the eight dihedral branches and the single
-        # rounding ride on device (round-2 verdict weak #8 — the old
-        # square-96 host-stitch fallback paid an extra ~4x engine tax
-        # on top of TTA's inherent 8x compute).
-        from pesr_tpu.ops.tiling import BatchTiledUpscaler
-        mesh = None
-        if opts.mesh_shape:
-            from pesr_tpu.parallel import make_mesh
-            mesh = make_mesh(int(opts.mesh_shape))
-            print(f"inference mesh: {mesh.devices.size} device(s)")
-        engine = BatchTiledUpscaler(apply_fn, variables, opts.scale,
-                                    opts.tile_size, opts.tile_overlap,
-                                    mesh=mesh)
-        engine.warmup_many(lrs, opts.infer_batch, se=True)
-        run = lambda: engine.upscale_many(  # noqa: E731
-            lrs, opts.infer_batch, se=True)
-        print(f"device-resident tiled mode (tile={opts.tile_size}, "
-              f"overlap={opts.tile_overlap}) + x8 self-ensemble")
     elif opts.tile_size == 0:
         # Reference behavior: whole-image forward, no tiling
         # (SURVEY.md §3.3; recompiles per distinct image shape).  Folded
@@ -145,7 +125,12 @@ def main(argv=None) -> int:
         # verdict weak #3: test.py must use the fast path too).
         # --mesh_shape N shards the image batch across N chips
         # (data-parallel inference; BASELINE config 4 multi-chip form).
+        # --self_ensemble keeps THIS engine: the eight dihedral TTA
+        # branches and the single rounding ride on device (round-2
+        # verdict weak #8 — the old square-96 host-stitch fallback paid
+        # an extra ~4x engine tax on top of TTA's inherent 8x compute).
         from pesr_tpu.ops.tiling import BatchTiledUpscaler
+        se = opts.self_ensemble
         mesh = None
         if opts.mesh_shape:
             from pesr_tpu.parallel import make_mesh
@@ -154,10 +139,12 @@ def main(argv=None) -> int:
         engine = BatchTiledUpscaler(apply_fn, variables, opts.scale,
                                     opts.tile_size, opts.tile_overlap,
                                     mesh=mesh)
-        engine.warmup_many(lrs, opts.infer_batch)
-        run = lambda: engine.upscale_many(lrs, opts.infer_batch)  # noqa: E731
+        engine.warmup_many(lrs, opts.infer_batch, se=se)
+        run = lambda: engine.upscale_many(  # noqa: E731
+            lrs, opts.infer_batch, se=se)
         print(f"device-resident tiled mode (tile={opts.tile_size}, "
-              f"overlap={opts.tile_overlap})")
+              f"overlap={opts.tile_overlap})"
+              + (" + x8 self-ensemble" if se else ""))
 
     out_dir = os.path.join(opts.output_dir, opts.test_dataset)
     psnr_m, ssim_m = AverageMeter(), AverageMeter()

@@ -24,9 +24,9 @@ _FOREST = os.path.join(_ROOT, "pesr_tpu", "metrics",
 def _clean_ma_env(monkeypatch):
     monkeypatch.delenv("PESR_MA_MODEL", raising=False)
     # Invalidate the per-env cache so each test resolves fresh.
-    ma_mod._REAL_MODEL_SOURCE = None
+    ma_mod._RESOLVED_ENV = None
     yield
-    ma_mod._REAL_MODEL_SOURCE = None
+    ma_mod._RESOLVED_ENV = None
 
 
 def test_packaged_forest_is_default_and_orders_degradations():
