@@ -38,7 +38,7 @@ needed; test.py calibrates on the eval set's own LR tiles.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict, Sequence
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -245,10 +245,21 @@ def make_int8_apply(scale: int, res_scale: float = 0.1,
 
 def int8_inference(params: Dict[str, Any], scale: int,
                    calib_tiles: Sequence[np.ndarray],
-                   res_scale: float = 0.1, quant_fold: bool = False):
+                   res_scale: float = 0.1,
+                   quant_fold: Optional[bool] = None):
     """One-call setup: calibrate on ``calib_tiles`` (normalized [-1,1]
     NHWC batches), quantize, and return ``(apply_fn, variables)`` for
-    the tiling engines."""
+    the tiling engines.
+
+    ``quant_fold`` (None = auto): whether the folded upsampler conv
+    also runs int8.  Auto enables it only at scale >= 8, where the
+    9x9x256->192 upfold is ~10% of the model's FLOPs and quantizing it
+    measured +5.5% throughput (151 -> 159 MP/s) for 0.015 dB on the
+    trained 32x256 flagship; at x2/x4 the upfold is too small to pay
+    back (measured 0.1 MP/s noise), so the bf16 upfold keeps its
+    quality margin for free (round-3 on-chip measurements)."""
+    if quant_fold is None:
+        quant_fold = scale >= 8
     calib = collect_calibration(params, scale, calib_tiles, res_scale)
     q = quantize_generator_params(params, calib, scale,
                                   quant_fold=quant_fold)
