@@ -154,3 +154,32 @@ def test_int8_psnr_delta_on_trained_checkpoint():
     p_ref = mean_psnr(ref_apply, ref_vars)
     p_int8 = mean_psnr(q_apply, q_vars)
     assert p_ref - p_int8 <= 0.05, (p_ref, p_int8)
+
+
+def test_quant_fold_auto_defaults_by_scale():
+    """quant_fold auto: the folded upsampler conv is int8 at scale >= 8
+    (measured +5% for 0.015 dB at flagship width) and bf16 below (no
+    measured gain — keep the quality margin)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pesr_tpu.models import Generator
+    from pesr_tpu.models.quant_apply import (default_calib_tiles,
+                                             int8_inference)
+
+    rng = np.random.default_rng(0)
+    calib_imgs = [rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)]
+    for scale, want_int8 in ((2, False), (4, False), (8, True)):
+        gen = Generator(scale=scale, num_blocks=2, num_channels=8)
+        variables = gen.init(jax.random.key(0),
+                             jnp.zeros((1, 8, 8, 3)))
+        _, qvars = int8_inference(variables["params"], scale,
+                                  default_calib_tiles(calib_imgs))
+        has_wq = "w_q" in qvars["params"]["upfold"]
+        assert has_wq == want_int8, (scale, qvars["params"][
+            "upfold"].keys())
+        # Explicit override still wins in both directions.
+        _, qv2 = int8_inference(variables["params"], scale,
+                                default_calib_tiles(calib_imgs),
+                                quant_fold=not want_int8)
+        assert ("w_q" in qv2["params"]["upfold"]) == (not want_int8)
