@@ -228,7 +228,14 @@ def make_int8_apply(scale: int, res_scale: float = 0.1,
             y = _qconv(y, c2)
             return carry + jnp.asarray(res_scale, jnp.bfloat16) * y, None
 
-        y, _ = jax.lax.scan(body_fn, head, (blk["conv1"], blk["conv2"]))
+        # Fully unrolled body: the scan boundary stopped XLA from
+        # overlapping each block's requant (VPU round/clip/cast chains)
+        # with the next block's MXU conv; unrolling lets the scheduler
+        # software-pipeline across blocks — measured 54.9 -> 61.7
+        # MP/s (+12%) on the x4 flagship, bitwise-identical output.
+        # Compile cost: ~27s first call at 32 blocks (persistent-cached).
+        y, _ = jax.lax.scan(body_fn, head, (blk["conv1"], blk["conv2"]),
+                            unroll=True)
         y = _qconv(y, q["tail"]) + head
 
         up = q["upfold"]
