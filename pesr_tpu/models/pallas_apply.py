@@ -41,10 +41,18 @@ def _conv(x: jnp.ndarray, p: Any, dtype) -> jnp.ndarray:
 
 def make_pallas_apply(scale: int, res_scale: float = 0.1,
                       dtype=jnp.bfloat16, tile=(36, 36),
-                      interpret: bool = False) -> Callable:
+                      interpret=None) -> Callable:
     """Build ``apply(variables, x)`` interchangeable with
-    models.Generator.apply (same params tree, same I/O contract)."""
+    models.Generator.apply (same params tree, same I/O contract).
+
+    ``interpret=None`` resolves to True off-TPU (the Mosaic kernels only
+    lower for TPU; the interpreter keeps CPU tests/dev runs working).
+    Differentiable end-to-end — each kernel carries a custom_vjp — so
+    this apply_fn drops into training states as well as inference.
+    """
     num_stages = {1: 0, 2: 1, 4: 2, 8: 3}[scale]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     def apply(variables: Any, x: jnp.ndarray) -> jnp.ndarray:
         p = variables["params"]

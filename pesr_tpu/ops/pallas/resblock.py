@@ -19,8 +19,12 @@ Boundary semantics: SAME zero padding, identical to
 ``flax.linen.Conv(padding="SAME")`` — the wrapper zero-pads by 2 and the
 parity test pins equality against the XLA reference.
 
-Forward-only: training keeps the XLA path (autodiff); inference/bench
-opt in via ``--use_pallas``.
+Autodiff: the kernel is wrapped in a ``jax.custom_vjp`` whose backward
+pass is the XLA transpose of the reference math (recomputed from the
+saved inputs — rematerialization, so the fused forward's VMEM residency
+never has to spill intermediates for the backward).  ``--use_pallas``
+is therefore usable in TRAINING as well as inference; gradient parity
+vs ``jax.grad`` of the XLA reference is pinned in tests/test_pallas.py.
 """
 
 from __future__ import annotations
@@ -67,14 +71,12 @@ def _resblock_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("res_scale", "tile",
-                                             "interpret"))
-def fused_resblock(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
-                   w2: jnp.ndarray, b2: jnp.ndarray,
-                   res_scale: float = 0.1,
-                   tile: Tuple[int, int] = (36, 36),
-                   interpret: bool = False) -> jnp.ndarray:
-    """x [B,H,W,C] (+ HWIO conv weights) -> x + res_scale*conv2(relu(conv1(x))).
+def _resblock_pallas_forward(x: jnp.ndarray, w1: jnp.ndarray,
+                             b1: jnp.ndarray, w2: jnp.ndarray,
+                             b2: jnp.ndarray, res_scale: float,
+                             tile: Tuple[int, int],
+                             interpret: bool) -> jnp.ndarray:
+    """Raw Pallas forward (no autodiff rule).
 
     The input is zero-padded by 2 (two SAME convs) and to tile multiples;
     overlapping halo windows are expressed by pre-tiling the padded
@@ -117,6 +119,54 @@ def fused_resblock(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
       b2.astype(wdt))
 
     return untile(out_tiles, b, nh, nw, h, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _resblock_vjp(x, w1, b1, w2, b2, res_scale, tile, interpret):
+    return _resblock_pallas_forward(x, w1, b1, w2, b2, res_scale, tile,
+                                    interpret)
+
+
+def _resblock_fwd(x, w1, b1, w2, b2, res_scale, tile, interpret):
+    out = _resblock_pallas_forward(x, w1, b1, w2, b2, res_scale, tile,
+                                   interpret)
+    return out, (x, w1, b1, w2, b2)
+
+
+def _resblock_bwd(res_scale, tile, interpret, residuals, g):
+    # Backward = XLA transpose of the reference math, recomputed from the
+    # saved inputs (remat): d/dx needs the transposed convs (spatially
+    # flipped, io-swapped kernels) and the ReLU mask; d/dW needs the
+    # input/hidden activations.  XLA's autodiff of the reference emits
+    # exactly those convs on the MXU — no hand-written transpose kernel
+    # can change the math, only the scheduling, and the forward is where
+    # the fusion win lives.
+    x, w1, b1, w2, b2 = residuals
+    _, pullback = jax.vjp(
+        lambda x_, w1_, b1_, w2_, b2_: resblock_reference(
+            x_, w1_, b1_, w2_, b2_, res_scale=res_scale),
+        x, w1, b1, w2, b2)
+    return pullback(g)
+
+
+_resblock_vjp.defvjp(_resblock_fwd, _resblock_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("res_scale", "tile",
+                                             "interpret"))
+def fused_resblock(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+                   w2: jnp.ndarray, b2: jnp.ndarray,
+                   res_scale: float = 0.1,
+                   tile: Tuple[int, int] = (36, 36),
+                   interpret: bool = False) -> jnp.ndarray:
+    """x [B,H,W,C] (+ HWIO conv weights) -> x + res_scale*conv2(relu(conv1(x))).
+
+    Differentiable: forward runs the fused Pallas kernel, backward the
+    XLA reference transpose (see ``_resblock_bwd``) — so the generator
+    body can train with ``--use_pallas`` (grad parity pinned in
+    tests/test_pallas.py::test_fused_resblock_grads_match_reference).
+    """
+    return _resblock_vjp(x, w1, b1, w2, b2, res_scale, tile, interpret)
 
 
 def resblock_reference(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,

@@ -12,8 +12,11 @@ full-tile MXU matmuls, here (rows, C) @ (C, 4C)); the depth-to-space is
 the models/pixel_shuffle channel-order-preserving reshape+transpose done
 on the VMEM tile, so torch checkpoint parity carries through.
 
-SAME zero-pad semantics via wrapper padding + halo-1 tiles; forward-only
-(inference path), opt-in with an XLA fallback like the resblock kernel.
+SAME zero-pad semantics via wrapper padding + halo-1 tiles; opt-in with
+an XLA fallback like the resblock kernel.  Differentiable the same way
+as the resblock kernel: Pallas forward + ``custom_vjp`` backward that
+recomputes through the XLA reference (conv transpose + space-to-depth),
+so ``--use_pallas`` training reaches the upsampler stages too.
 """
 
 from __future__ import annotations
@@ -59,15 +62,10 @@ def _upsampler_kernel(x_ref, w_ref, b_ref, o_ref, *, compute_dtype):
         o_ref[0, i::2, j::2, :] = acc[:, :, q * chunk:(q + 1) * chunk]
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def fused_upsampler_stage(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-                          tile: Tuple[int, int] = (36, 36),
-                          interpret: bool = False) -> jnp.ndarray:
-    """One x2 stage: pixel_shuffle(conv3x3_SAME(x, w) + b, 2).
-
-    x [B, H, W, C]; w (3, 3, C, 4C) HWIO; b (4C,).
-    Returns [B, 2H, 2W, C].
-    """
+def _upsampler_pallas_forward(x: jnp.ndarray, w: jnp.ndarray,
+                              b: jnp.ndarray, tile: Tuple[int, int],
+                              interpret: bool) -> jnp.ndarray:
+    """Raw Pallas forward (no autodiff rule)."""
     bsz, h, w_dim, c = x.shape
     th, tw = tile
     compute_dtype = x.dtype if x.dtype != jnp.float64 else jnp.float32
@@ -124,6 +122,40 @@ def fused_upsampler_stage(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 
     return untile(out_tiles, bsz, nh, nw, 2 * h, 2 * w_dim
                   ).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _upsampler_vjp(x, w, b, tile, interpret):
+    return _upsampler_pallas_forward(x, w, b, tile, interpret)
+
+
+def _upsampler_fwd(x, w, b, tile, interpret):
+    return _upsampler_pallas_forward(x, w, b, tile, interpret), (x, w, b)
+
+
+def _upsampler_bwd(tile, interpret, residuals, g):
+    # XLA transpose of the reference (conv transpose + space-to-depth on
+    # the cotangent), recomputed from the saved inputs — same remat
+    # strategy as the resblock kernel's backward.
+    x, w, b = residuals
+    _, pullback = jax.vjp(upsampler_stage_reference, x, w, b)
+    return pullback(g)
+
+
+_upsampler_vjp.defvjp(_upsampler_fwd, _upsampler_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def fused_upsampler_stage(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                          tile: Tuple[int, int] = (36, 36),
+                          interpret: bool = False) -> jnp.ndarray:
+    """One x2 stage: pixel_shuffle(conv3x3_SAME(x, w) + b, 2).
+
+    x [B, H, W, C]; w (3, 3, C, 4C) HWIO; b (4C,).
+    Returns [B, 2H, 2W, C].  Differentiable (Pallas forward + XLA
+    reference backward) so ``--use_pallas`` covers training.
+    """
+    return _upsampler_vjp(x, w, b, tile, interpret)
 
 
 def upsampler_stage_reference(x: jnp.ndarray, w: jnp.ndarray,

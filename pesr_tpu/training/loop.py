@@ -144,6 +144,17 @@ def run_training(opts: Opts) -> Dict[str, float]:
         print(f"loaded pretrained generator (step {at_step}) "
               f"from {opts.pretrained_model}")
 
+    if opts.use_pallas and opts.phase != "qat":
+        # Fused Pallas body/upsampler for TRAINING too: the kernels carry
+        # a custom_vjp (XLA-reference backward, remat-style), so swapping
+        # apply_fn is all it takes — grads match the XLA path
+        # (tests/test_pallas.py grad-parity tier).  QAT keeps its own
+        # fake-quant apply_fn.
+        from pesr_tpu.models.pallas_apply import make_pallas_apply
+        g_state = g_state.replace(apply_fn=make_pallas_apply(
+            opts.scale, opts.res_scale, _dtype(opts.compute_dtype)))
+        print("generator apply: fused Pallas kernels (--use_pallas)")
+
     g_state = shard_pytree_replicated(mesh, g_state)
 
     gan_phase = opts.phase == "train"

@@ -49,6 +49,28 @@ def test_pretrain_loss_decreases():
     assert last < first * 0.7, (first, last)
 
 
+def test_pretrain_with_pallas_apply_fn_decreases_loss():
+    """--use_pallas training wiring (loop.py): swapping the state's
+    apply_fn for models.pallas_apply must train — the kernels'
+    custom_vjp backward makes the same pretrain step work unchanged."""
+    from pesr_tpu.models.pallas_apply import make_pallas_apply
+    opts = dataclasses.replace(TINY, learning_rate=2e-3)
+    g_state = create_generator_state(opts, build_generator(opts),
+                                     jax.random.key(0))
+    g_state = g_state.replace(apply_fn=make_pallas_apply(
+        opts.scale, opts.res_scale, jnp.float32, tile=(8, 8),
+        interpret=True))
+    step = make_pretrain_step(opts)
+    lr, hr = _batch(opts)
+    first = last = None
+    for _ in range(12):
+        g_state, m = step(g_state, lr, hr)
+        l1 = float(m["l1"])
+        first = first if first is not None else l1
+        last = l1
+    assert np.isfinite(last) and last < first * 0.85, (first, last)
+
+
 @pytest.mark.slow
 def test_gan_step_updates_both_nets_and_is_finite():
     opts = TINY
