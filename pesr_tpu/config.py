@@ -103,6 +103,8 @@ class Opts:
     tile_overlap: int = 8         # LR halo on each side
     infer_batch: int = 8          # tiles per jitted forward
     self_ensemble: bool = False   # x8 geometric TTA at inference
+    export_artifact: str = ""     # write an AOT serving bundle
+                                  # (pesr_tpu/serving.py) and exit
 
     # --- TPU-native knobs (new; SURVEY.md §7) ---
     compute_dtype: str = "bfloat16"   # activations/conv compute dtype
@@ -238,6 +240,11 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
         g.add_argument("--infer_batch", type=int, default=d.infer_batch)
         _add_bool_flag(g, "self_ensemble", d.self_ensemble,
                        "x8 geometric test-time augmentation")
+        g.add_argument("--export_artifact", type=str,
+                       default=d.export_artifact,
+                       help="write a hermetic AOT serving bundle "
+                            "(jax.export; fixed shape = first eval "
+                            "batch) to this path and exit")
 
     g = p.add_argument_group("tpu")
     g.add_argument("--compute_dtype", type=str, default=d.compute_dtype,

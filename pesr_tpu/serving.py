@@ -1,0 +1,159 @@
+"""AOT serving artifacts: compile the device-resident tiled-SR program
+ahead of time with ``jax.export``, bake the generator weights in as
+constants, and serialize everything into ONE self-contained file that a
+serving host loads and runs WITHOUT the model-building Python — no flax
+module, no checkpoint tree, no flag parsing.  The TPU-native analog of
+the reference's deploy story (a torch ``.pth`` plus its model code;
+SURVEY.md §3.3), redesigned around XLA's compilation model: serving
+shapes are FIXED, so the whole pad→tile→forward→stitch pipeline of
+:class:`pesr_tpu.ops.tiling.BatchTiledUpscaler` exports as a single
+StableHLO program per (batch, H, W).
+
+Why shapes are part of the artifact: everything on the MXU path is
+static-shape (BASELINE.md roofline; dynamic shapes would force
+recompiles or host fallbacks at serve time).  Export one artifact per
+served input geometry — each is hermetic, and a fleet can mix them
+freely because nothing is shared at runtime.
+
+Cross-platform: pass ``platforms=("tpu", "cpu")`` to lower for both —
+an artifact exported on a CPU dev box then runs unmodified on the TPU
+serving fleet (and vice versa for local debugging).  All production
+apply paths (plain/bf16, folded, int8 W8A8) are pure XLA and lower for
+either platform; the opt-in Pallas path is TPU-only and is rejected at
+export unless the artifact targets TPU exclusively.
+
+Artifact layout (zip):
+  meta.json   scale / shapes / grid / precision path / versions
+  fn.bin      ``jax.export`` serialization (weights as constants)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pesr_tpu.ops.tiling import BatchTiledUpscaler
+
+_META_NAME = "meta.json"
+_FN_NAME = "fn.bin"
+_FORMAT_VERSION = 1
+
+
+def export_upscaler(engine: BatchTiledUpscaler, batch: int, height: int,
+                    width: int, path: str,
+                    platforms: Optional[Sequence[str]] = None,
+                    precision_path: str = "unspecified") -> dict:
+    """Export ``engine``'s full tiled-SR program for a fixed input shape
+    ``[batch, height, width, 3] uint8`` to a hermetic artifact at
+    ``path``.  Returns the artifact metadata dict.
+
+    ``platforms``: lowering targets (default: the current backend only).
+    ``precision_path``: recorded in metadata so a consumer can tell an
+    int8-W8A8 artifact from a bf16 one (the program itself is opaque).
+    """
+    if engine.mesh is not None:
+        raise ValueError(
+            "export_upscaler exports single-chip programs; for DP "
+            "serving, export once and load the artifact on every chip "
+            "(the batch shards trivially across hermetic replicas)")
+    from jax import export as jax_export
+
+    run, (nh, nw, th, tw) = engine._build(batch, height, width)
+    variables = engine._variables
+
+    fn = jax.jit(lambda imgs_u8: run(variables, imgs_u8))
+    spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.uint8)
+    exported = jax_export.export(
+        fn, platforms=list(platforms) if platforms else None)(spec)
+
+    s = engine.scale
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "scale": s,
+        "input_shape": [batch, height, width, 3],
+        "input_dtype": "uint8",
+        "canvas_shape": [batch, nh * th * s, nw * tw * s, 3],
+        "output_crop": [height * s, width * s],
+        "grid": {"nh": nh, "nw": nw, "th": th, "tw": tw,
+                 "overlap": engine.ov, "min_halo": engine.min_halo},
+        "precision_path": precision_path,
+        "platforms": list(exported.platforms),
+        "jax_version": jax.__version__,
+        "calling_convention_version":
+            exported.calling_convention_version,
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(_META_NAME, json.dumps(meta, indent=1))
+        zf.writestr(_FN_NAME, exported.serialize())
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+    return meta
+
+
+class ServingUpscaler:
+    """A loaded artifact: ``uint8 [B,H,W,3] -> uint8 [B,H*s,W*s,3]``.
+
+    Stateless and hermetic — construct once per process/chip and call
+    from the serving loop.  The exported program runs under ``jax.jit``
+    (compiled on first call, cached after), and the canvas crop to the
+    true output size happens on device before the fetch.
+    """
+
+    def __init__(self, meta: dict, exported) -> None:
+        self.meta = meta
+        self.scale = int(meta["scale"])
+        self.input_shape = tuple(meta["input_shape"])
+        ch, cw = meta["output_crop"]
+        call = exported.call
+
+        def run(imgs_u8):
+            return call(imgs_u8)[:, :ch, :cw, :]
+
+        self._fn = jax.jit(run)
+
+    def upscale_device(self, imgs_u8) -> jax.Array:
+        """Device-resident variant (composition with downstream stages)."""
+        imgs_u8 = jnp.asarray(imgs_u8)
+        if (imgs_u8.dtype != jnp.uint8
+                or tuple(imgs_u8.shape) != self.input_shape):
+            raise ValueError(
+                f"artifact serves exactly uint8 {self.input_shape}, got "
+                f"{imgs_u8.dtype} {tuple(imgs_u8.shape)} — export one "
+                "artifact per served shape (serving shapes are static)")
+        return self._fn(imgs_u8)
+
+    def __call__(self, imgs_u8: np.ndarray) -> np.ndarray:
+        return np.asarray(self.upscale_device(imgs_u8))
+
+
+def load_upscaler(path: str) -> ServingUpscaler:
+    """Load an artifact written by :func:`export_upscaler`."""
+    from jax import export as jax_export
+
+    with zipfile.ZipFile(path) as zf:
+        meta = json.loads(zf.read(_META_NAME))
+        blob = zf.read(_FN_NAME)
+    if meta.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported artifact format_version {meta.get('format_version')}"
+            f" (this build reads {_FORMAT_VERSION})")
+    backend = jax.default_backend()
+    if backend not in meta["platforms"]:
+        raise ValueError(
+            f"artifact was lowered for {meta['platforms']}, but this "
+            f"process runs on {backend!r} — re-export with "
+            f"platforms={sorted(set(meta['platforms']) | {backend})}")
+    return ServingUpscaler(meta, jax_export.deserialize(blob))
+
+
+def read_meta(path: str) -> dict:
+    """Artifact metadata without deserializing the program (cheap)."""
+    with zipfile.ZipFile(path) as zf:
+        return json.loads(zf.read(_META_NAME))

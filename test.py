@@ -29,6 +29,13 @@ def main(argv=None) -> int:
     from pesr_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     opts = opts_from_args(argv, mode="test")
+    if opts.export_artifact and (opts.tile_size == 0
+                                 or opts.self_ensemble):
+        # The artifact is the device-resident tiled program; whole-image
+        # mode compiles per image shape and TTA is a host-side
+        # composition — neither maps to one hermetic fixed-shape export.
+        raise SystemExit("--export_artifact requires tiled mode "
+                         "(--tile_size != 0) without --self_ensemble")
     gen = build_generator(opts)
 
     if opts.model_path:
@@ -139,6 +146,24 @@ def main(argv=None) -> int:
         engine = BatchTiledUpscaler(apply_fn, variables, opts.scale,
                                     opts.tile_size, opts.tile_overlap,
                                     mesh=mesh)
+        if opts.export_artifact:
+            # AOT serving bundle (pesr_tpu/serving.py): fixed shape =
+            # the first eval image at --infer_batch.  Hermetic — loads
+            # on the serving fleet without this repo's model code.
+            from pesr_tpu.serving import export_upscaler
+            b = min(opts.infer_batch, len(lrs)) or 1
+            h, w = lrs[0].shape[:2]
+            precision = ("int8-w8a8" if opts.quant == "int8" else
+                         ("pallas-" if opts.use_pallas else
+                          "folded-" if opts.fold else "")
+                         + opts.compute_dtype)
+            meta = export_upscaler(engine, b, h, w, opts.export_artifact,
+                                   precision_path=precision)
+            print(f"exported serving artifact to {opts.export_artifact}: "
+                  f"input {meta['input_shape']}, x{meta['scale']}, "
+                  f"{meta['precision_path']}, platforms "
+                  f"{meta['platforms']}")
+            return 0
         engine.warmup_many(lrs, opts.infer_batch, se=se)
         run = lambda: engine.upscale_many(  # noqa: E731
             lrs, opts.infer_batch, se=se)

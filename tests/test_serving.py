@@ -1,0 +1,119 @@
+"""AOT serving-artifact tests (pesr_tpu/serving.py): export the tiled
+engine with jax.export, reload WITHOUT model code, and pin bitwise
+equality against the live engine — the deploy-bundle analog of the
+reference's .pth-plus-model-code serving story (SURVEY.md §3.3)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pesr_tpu.models import Generator
+from pesr_tpu.ops.tiling import BatchTiledUpscaler
+from pesr_tpu.serving import export_upscaler, load_upscaler, read_meta
+
+
+def _engine(scale=2, c=8, blocks=2, tile=16, ov=4):
+    gen = Generator(scale=scale, num_blocks=blocks, num_channels=c,
+                    dtype=jnp.float32)
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    return BatchTiledUpscaler(gen.apply, variables, scale,
+                              tile_size=tile, overlap=ov)
+
+
+def _imgs(b=2, h=21, w=17, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+
+
+def test_export_load_roundtrip_bitwise(tmp_path):
+    engine = _engine()
+    imgs = _imgs()
+    path = os.path.join(tmp_path, "up.pesr")
+    meta = export_upscaler(engine, *imgs.shape[:3], path,
+                           precision_path="f32")
+    assert meta["scale"] == 2 and meta["output_crop"] == [42, 34]
+
+    served = load_upscaler(path)
+    got = served(imgs)
+    ref = engine.upscale_batch(imgs)
+    assert got.dtype == np.uint8 and got.shape == (2, 42, 34, 3)
+    np.testing.assert_array_equal(got, ref)
+
+    # Metadata reads without touching the program.
+    m = read_meta(path)
+    assert m["precision_path"] == "f32"
+    assert jax.default_backend() in m["platforms"]
+
+
+def test_serving_rejects_wrong_shape_and_dtype(tmp_path):
+    engine = _engine()
+    path = os.path.join(tmp_path, "up.pesr")
+    export_upscaler(engine, 2, 21, 17, path)
+    served = load_upscaler(path)
+    with pytest.raises(ValueError, match="static"):
+        served(_imgs(b=1))
+    with pytest.raises(ValueError, match="static"):
+        served(_imgs().astype(np.float32))
+
+
+def test_export_rejects_mesh_engine(tmp_path):
+    from pesr_tpu.parallel import make_mesh
+    gen = Generator(scale=2, num_blocks=1, num_channels=8,
+                    dtype=jnp.float32)
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    engine = BatchTiledUpscaler(gen.apply, variables, 2, tile_size=16,
+                                overlap=4, mesh=make_mesh(None))
+    with pytest.raises(ValueError, match="single-chip"):
+        export_upscaler(engine, 2, 21, 17,
+                        os.path.join(tmp_path, "x.pesr"))
+
+
+@pytest.mark.slow
+def test_cli_export_artifact_flag(tmp_path, capsys):
+    """`test.py --export_artifact` end-to-end: flags -> checkpointless
+    tiny model -> artifact on disk that serves the advertised shape."""
+    import test as test_cli
+    path = os.path.join(tmp_path, "cli.pesr")
+    rc = test_cli.main(["--dataset", "synthetic", "--scale", "2",
+                        "--num_blocks", "2", "--num_channels", "8",
+                        "--compute_dtype", "float32", "--infer_batch",
+                        "2", "--export_artifact", path])
+    assert rc == 0
+    assert "exported serving artifact" in capsys.readouterr().out
+    served = load_upscaler(path)
+    b, h, w, _ = served.input_shape
+    rng = np.random.default_rng(0)
+    out = served(rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8))
+    assert out.shape == (b, 2 * h, 2 * w, 3) and out.dtype == np.uint8
+
+
+def test_cli_export_rejects_whole_image_mode():
+    import test as test_cli
+    with pytest.raises(SystemExit, match="tiled mode"):
+        test_cli.main(["--dataset", "synthetic", "--tile_size", "0",
+                       "--export_artifact", "/tmp/never.pesr"])
+
+
+def test_export_int8_path(tmp_path):
+    """The production int8 W8A8 apply exports and reloads exactly like
+    the float path (same run signature, scales baked as constants)."""
+    from pesr_tpu.models.quant_apply import (default_calib_tiles,
+                                             int8_inference)
+    gen = Generator(scale=2, num_blocks=2, num_channels=8,
+                    dtype=jnp.float32)
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    imgs = _imgs(b=1, h=24, w=20, seed=3)
+    tiles = default_calib_tiles([imgs[0]])
+    apply_fn, variables = int8_inference(params, 2, tiles)
+    engine = BatchTiledUpscaler(apply_fn, variables, 2, tile_size=16,
+                                overlap=4)
+    path = os.path.join(tmp_path, "up_int8.pesr")
+    export_upscaler(engine, *imgs.shape[:3], path,
+                    precision_path="int8-w8a8")
+    served = load_upscaler(path)
+    np.testing.assert_array_equal(served(imgs),
+                                  engine.upscale_batch(imgs))
+    assert read_meta(path)["precision_path"] == "int8-w8a8"
