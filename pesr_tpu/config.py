@@ -110,6 +110,9 @@ class Opts:
     compute_dtype: str = "bfloat16"   # activations/conv compute dtype
     param_dtype: str = "float32"
     use_pallas: bool = False          # fused Pallas kernels (XLA fallback)
+    remat: bool = False               # gradient-checkpoint the body scan
+                                      # (~3x larger batch*patch^2; one
+                                      # extra forward per step)
     fold: bool = True                 # folded upsampler at inference
                                       # (exact through tiling; models/fold.py)
     quant: str = "none"               # none | int8 (PTQ inference path)
@@ -251,6 +254,9 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     g.add_argument("--param_dtype", type=str, default=d.param_dtype)
     _add_bool_flag(g, "use_pallas", d.use_pallas, "use fused Pallas kernels")
+    _add_bool_flag(g, "remat", d.remat,
+                   "gradient-checkpoint the residual body (trade one "
+                   "extra forward for ~3x activation-memory headroom)")
     _add_bool_flag(g, "fold", d.fold,
                    "fold the linear upsampler+out chain into one conv "
                    "at inference (tiled modes; exact on the interior)")

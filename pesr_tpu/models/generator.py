@@ -99,6 +99,14 @@ class Generator(nn.Module):
     img_channels: int = 3
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    # Gradient checkpointing over the scanned body (``--remat``): saves
+    # only each block's carry and recomputes the two conv activations in
+    # the backward pass — activation memory for the body drops from
+    # ~3 buffers/block to ~1, buying ~3x larger batch*patch² at the cost
+    # of one extra forward (the classic TPU HBM-for-FLOPs trade; the
+    # body is MXU-bound so the recompute overlaps well).  Identical
+    # params tree and gradients (tests/test_models.py).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -117,7 +125,7 @@ class Generator(nn.Module):
         # Weights are stacked on a leading axis; convert.py un/re-stacks
         # when mapping to the reference's per-block torch tensors.
         body = nn.scan(
-            _ScanBody,
+            nn.remat(_ScanBody) if self.remat else _ScanBody,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.num_blocks,

@@ -47,7 +47,8 @@ def build_generator(opts: Opts) -> Generator:
                      res_scale=opts.res_scale,
                      img_channels=opts.img_channels,
                      dtype=_dtype(opts.compute_dtype),
-                     param_dtype=_dtype(opts.param_dtype))
+                     param_dtype=_dtype(opts.param_dtype),
+                     remat=opts.remat)
 
 
 def build_discriminator(opts: Opts) -> Discriminator:

@@ -46,6 +46,34 @@ def test_generator_residual_path_identity():
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
 
+def test_generator_remat_same_params_and_grads():
+    """--remat must be a pure memory/FLOPs trade: identical params tree,
+    identical outputs, and (numerically) identical gradients."""
+    kw = dict(scale=2, num_blocks=3, num_channels=8, dtype=jnp.float32)
+    gen = Generator(**kw)
+    gen_r = Generator(**kw, remat=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 10, 10, 3)), jnp.float32)
+    v = gen.init(jax.random.key(0), x)
+    # Same tree structure AND same values from the same init key.
+    v_r = gen_r.init(jax.random.key(0), x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)), v, v_r)
+
+    np.testing.assert_allclose(np.asarray(gen_r.apply(v, x)),
+                               np.asarray(gen.apply(v, x)), atol=1e-6)
+
+    def loss(apply, p):
+        return jnp.mean(jnp.abs(apply({"params": p}, x)))
+
+    g = jax.grad(lambda p: loss(gen.apply, p))(v["params"])
+    g_r = jax.grad(lambda p: loss(gen_r.apply, p))(v["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5), g, g_r)
+
+
 def test_discriminator_logits_shape():
     d = Discriminator(dtype=jnp.float32)
     x = jnp.zeros((4, 96, 96, 3))
