@@ -264,10 +264,14 @@ class BatchTiledUpscaler:
             # Replicate-pad ON DEVICE (raw uint8 goes up, nothing more):
             # edge pads are tiny vs the image, and host-side padding
             # would serialize a second host pass + a larger upload.
+            # The batch dim comes from the INPUT (not the build-time
+            # closure) so the program stays shape-polymorphic in b —
+            # serving.py exports one artifact for any batch size.
+            bsz = imgs_u8.shape[0]
             x = normalize_uint8(imgs_u8)
             x = _pad_edge_device(x, (ov_h, nh * th - h + ov_h,
                                      ov_w, nw * tw - w + ov_w))
-            canvas = jnp.zeros((b, nh * th * s, nw * tw * s, 3),
+            canvas = jnp.zeros((bsz, nh * th * s, nw * tw * s, 3),
                                jnp.float32 if float_out else jnp.uint8)
             if self.mesh is not None:
                 # Keep the canvas batch-sharded like the input; without
@@ -281,7 +285,7 @@ class BatchTiledUpscaler:
                 i, j = k // nw, k % nw
                 tiles = jax.lax.dynamic_slice(
                     x, (0, i * th, j * tw, 0),
-                    (b, th + 2 * ov_h, tw + 2 * ov_w, 3))
+                    (bsz, th + 2 * ov_h, tw + 2 * ov_w, 3))
                 sr = apply_fn(variables, tiles)
                 core_f = sr[:, ov_h * s:(ov_h + th) * s,
                             ov_w * s:(ov_w + tw) * s, :]

@@ -45,13 +45,23 @@ _FN_NAME = "fn.bin"
 _FORMAT_VERSION = 1
 
 
-def export_upscaler(engine: BatchTiledUpscaler, batch: int, height: int,
+def export_upscaler(engine: BatchTiledUpscaler, batch, height: int,
                     width: int, path: str,
                     platforms: Optional[Sequence[str]] = None,
-                    precision_path: str = "unspecified") -> dict:
-    """Export ``engine``'s full tiled-SR program for a fixed input shape
+                    precision_path: str = "unspecified",
+                    trace_batch: int = 8) -> dict:
+    """Export ``engine``'s full tiled-SR program for input shape
     ``[batch, height, width, 3] uint8`` to a hermetic artifact at
     ``path``.  Returns the artifact metadata dict.
+
+    ``batch``: an int for a fixed serve batch, or the string ``"any"``
+    for a shape-POLYMORPHIC batch dimension (jax.export symbolic
+    shapes): one artifact serves every batch size, including the ragged
+    final batch of a stream.  H/W stay fixed either way — spatial dims
+    drive tile-grid selection and MXU tiling, the batch dim is just the
+    outer loop.  With ``"any"`` the tile grid is chosen for
+    ``trace_batch`` (the HBM activation budget is per-batch; serve far
+    above it and peak memory grows past the chooser's budget).
 
     ``platforms``: lowering targets (default: the current backend only).
     ``precision_path``: recorded in metadata so a consumer can tell an
@@ -64,11 +74,16 @@ def export_upscaler(engine: BatchTiledUpscaler, batch: int, height: int,
             "(the batch shards trivially across hermetic replicas)")
     from jax import export as jax_export
 
-    run, (nh, nw, th, tw) = engine._build(batch, height, width)
+    dynamic = batch in ("any", "dynamic")
+    b_trace = trace_batch if dynamic else int(batch)
+    run, (nh, nw, th, tw) = engine._build(b_trace, height, width)
     variables = engine._variables
 
     fn = jax.jit(lambda imgs_u8: run(variables, imgs_u8))
-    spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.uint8)
+    spec = jax.ShapeDtypeStruct((b_trace, height, width, 3), jnp.uint8)
+    if dynamic:
+        spec = jax_export.symbolic_args_specs(
+            spec, f"b, {height}, {width}, 3")
     exported = jax_export.export(
         fn, platforms=list(platforms) if platforms else None)(spec)
 
@@ -76,9 +91,12 @@ def export_upscaler(engine: BatchTiledUpscaler, batch: int, height: int,
     meta = {
         "format_version": _FORMAT_VERSION,
         "scale": s,
-        "input_shape": [batch, height, width, 3],
+        "input_shape": ["any" if dynamic else int(batch),
+                        height, width, 3],
+        "trace_batch": b_trace,
         "input_dtype": "uint8",
-        "canvas_shape": [batch, nh * th * s, nw * tw * s, 3],
+        "canvas_shape": ["any" if dynamic else int(batch),
+                         nh * th * s, nw * tw * s, 3],
         "output_crop": [height * s, width * s],
         "grid": {"nh": nh, "nw": nw, "th": th, "tw": tw,
                  "overlap": engine.ov, "min_halo": engine.min_halo},
@@ -121,12 +139,16 @@ class ServingUpscaler:
     def upscale_device(self, imgs_u8) -> jax.Array:
         """Device-resident variant (composition with downstream stages)."""
         imgs_u8 = jnp.asarray(imgs_u8)
-        if (imgs_u8.dtype != jnp.uint8
-                or tuple(imgs_u8.shape) != self.input_shape):
+        want = self.input_shape
+        got = tuple(imgs_u8.shape)
+        shape_ok = (len(got) == 4 and got[1:] == tuple(want[1:])
+                    and (want[0] == "any" or got[0] == want[0]))
+        if imgs_u8.dtype != jnp.uint8 or not shape_ok:
             raise ValueError(
-                f"artifact serves exactly uint8 {self.input_shape}, got "
-                f"{imgs_u8.dtype} {tuple(imgs_u8.shape)} — export one "
-                "artifact per served shape (serving shapes are static)")
+                f"artifact serves exactly uint8 {tuple(want)}, got "
+                f"{imgs_u8.dtype} {got} — export one "
+                "artifact per served shape (serving shapes are static; "
+                'batch="any" exports a batch-polymorphic one)')
         return self._fn(imgs_u8)
 
     def __call__(self, imgs_u8: np.ndarray) -> np.ndarray:

@@ -59,6 +59,37 @@ def test_serving_rejects_wrong_shape_and_dtype(tmp_path):
         served(_imgs().astype(np.float32))
 
 
+def test_export_dynamic_batch(tmp_path):
+    """batch="any": ONE artifact serves every batch size (symbolic batch
+    dim), bitwise-equal to the live engine; H/W stay pinned."""
+    engine = _engine()
+    path = os.path.join(tmp_path, "dyn.pesr")
+    meta = export_upscaler(engine, "any", 21, 17, path, trace_batch=3)
+    assert meta["input_shape"][0] == "any"
+    served = load_upscaler(path)
+    for b in (1, 2, 5):
+        imgs = _imgs(b=b, seed=b)
+        np.testing.assert_array_equal(served(imgs),
+                                      engine.upscale_batch(imgs))
+    with pytest.raises(ValueError, match="static"):
+        served(_imgs(b=2, h=20, w=17))  # wrong height still rejected
+
+
+def test_export_cross_platform_lowering(tmp_path):
+    """platforms=("tpu","cpu") lowers ONE artifact for both fleets —
+    exported here on the CPU test mesh, still loadable/exact locally,
+    and advertising tpu for the serving hosts."""
+    engine = _engine()
+    imgs = _imgs(b=1)
+    path = os.path.join(tmp_path, "xplat.pesr")
+    meta = export_upscaler(engine, *imgs.shape[:3], path,
+                           platforms=("tpu", "cpu"))
+    assert set(meta["platforms"]) == {"tpu", "cpu"}
+    served = load_upscaler(path)
+    np.testing.assert_array_equal(served(imgs),
+                                  engine.upscale_batch(imgs))
+
+
 def test_export_rejects_mesh_engine(tmp_path):
     from pesr_tpu.parallel import make_mesh
     gen = Generator(scale=2, num_blocks=1, num_channels=8,
