@@ -83,4 +83,8 @@ def make_pallas_apply(scale: int, res_scale: float = 0.1,
         out = _conv(y, p["out"], dtype)
         return out.astype(jnp.float32)
 
+    # Introspection tags (serving.export_upscaler rejects exporting the
+    # Pallas path off-TPU / in interpreter mode based on these).
+    apply.uses_pallas = True
+    apply.pallas_interpret = bool(interpret)
     return apply

@@ -231,8 +231,9 @@ def make_int8_apply(scale: int, res_scale: float = 0.1,
         # Fully unrolled body: the scan boundary stopped XLA from
         # overlapping each block's requant (VPU round/clip/cast chains)
         # with the next block's MXU conv; unrolling lets the scheduler
-        # software-pipeline across blocks — measured 54.9 -> 61.7
-        # MP/s (+12%) on the x4 flagship, bitwise-identical output.
+        # software-pipeline across blocks — measured 54.9 -> 61.4
+        # MP/s (+12%) on the x4 flagship, bitwise-identical output
+        # (canonical sweep numbers: BASELINE.md roofline table).
         # Compile cost: ~27s first call at 32 blocks (persistent-cached).
         y, _ = jax.lax.scan(body_fn, head, (blk["conv1"], blk["conv2"]),
                             unroll=True)
@@ -261,7 +262,7 @@ def int8_inference(params: Dict[str, Any], scale: int,
     ``quant_fold`` (None = auto): whether the folded upsampler conv
     also runs int8.  Auto enables it only at scale >= 8, where the
     9x9x256->192 upfold is ~10% of the model's FLOPs and quantizing it
-    measured +5.5% throughput (151 -> 159 MP/s) for 0.015 dB on the
+    measured +5% throughput (155.6 -> 158.4 MP/s) for 0.015 dB on the
     trained 32x256 flagship; at x2/x4 the upfold is too small to pay
     back (measured 0.1 MP/s noise), so the bf16 upfold keeps its
     quality margin for free (round-3 on-chip measurements)."""

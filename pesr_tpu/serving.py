@@ -74,6 +74,19 @@ def export_upscaler(engine: BatchTiledUpscaler, batch, height: int,
             "(the batch shards trivially across hermetic replicas)")
     from jax import export as jax_export
 
+    if getattr(engine._apply_fn, "uses_pallas", False):
+        targets = set(platforms) if platforms else {jax.default_backend()}
+        interp = getattr(engine._apply_fn, "pallas_interpret", False)
+        if interp or targets != {"tpu"}:
+            raise ValueError(
+                "the Pallas apply path exports only as real Mosaic "
+                "kernels for TPU exclusively (platforms=('tpu',) on a "
+                f"TPU host); got platforms={sorted(targets)}, "
+                f"interpret={interp}.  Exporting the interpreter "
+                "emulation would silently bake a drastically slower "
+                "program.  The XLA paths (bf16/folded/int8) are "
+                "cross-platform — use those for mixed fleets.")
+
     dynamic = batch in ("any", "dynamic")
     b_trace = trace_batch if dynamic else int(batch)
     run, (nh, nw, th, tw) = engine._build(b_trace, height, width)
@@ -98,7 +111,13 @@ def export_upscaler(engine: BatchTiledUpscaler, batch, height: int,
         "canvas_shape": ["any" if dynamic else int(batch),
                          nh * th * s, nw * tw * s, 3],
         "output_crop": [height * s, width * s],
+        # ov_h/ov_w are the halos the exported program ACTUALLY uses
+        # per axis (single-tile axes drop to the min_halo floor;
+        # multi-tile axes are raised to it) — a consumer reconstructing
+        # tile geometry from this dict must use them, not "overlap"
+        # (the constructor's request, kept for provenance).
         "grid": {"nh": nh, "nw": nw, "th": th, "tw": tw,
+                 "ov_h": engine._ov_for(nh), "ov_w": engine._ov_for(nw),
                  "overlap": engine.ov, "min_halo": engine.min_halo},
         "precision_path": precision_path,
         "platforms": list(exported.platforms),
@@ -167,11 +186,15 @@ def load_upscaler(path: str) -> ServingUpscaler:
             f"unsupported artifact format_version {meta.get('format_version')}"
             f" (this build reads {_FORMAT_VERSION})")
     backend = jax.default_backend()
-    if backend not in meta["platforms"]:
+    # jax.default_backend() reports 'gpu' where jax.export platform
+    # names distinguish 'cuda'/'rocm' — accept either for a GPU process.
+    compatible = {"gpu": {"cuda", "rocm"}}.get(backend, {backend})
+    if not compatible & set(meta["platforms"]):
+        want = "cuda" if backend == "gpu" else backend
         raise ValueError(
             f"artifact was lowered for {meta['platforms']}, but this "
             f"process runs on {backend!r} — re-export with "
-            f"platforms={sorted(set(meta['platforms']) | {backend})}")
+            f"platforms={sorted(set(meta['platforms']) | {want})}")
     return ServingUpscaler(meta, jax_export.deserialize(blob))
 
 

@@ -30,12 +30,16 @@ def main(argv=None) -> int:
     enable_compile_cache()
     opts = opts_from_args(argv, mode="test")
     if opts.export_artifact and (opts.tile_size == 0
-                                 or opts.self_ensemble):
+                                 or opts.self_ensemble
+                                 or opts.mesh_shape):
         # The artifact is the device-resident tiled program; whole-image
-        # mode compiles per image shape and TTA is a host-side
-        # composition — neither maps to one hermetic fixed-shape export.
+        # mode compiles per image shape, TTA is a host-side composition,
+        # and a meshed engine is a multi-chip program — none map to one
+        # hermetic fixed-shape single-chip export (for DP serving, load
+        # the artifact on every chip).
         raise SystemExit("--export_artifact requires tiled mode "
-                         "(--tile_size != 0) without --self_ensemble")
+                         "(--tile_size != 0) without --self_ensemble "
+                         "or --mesh_shape")
     gen = build_generator(opts)
 
     if opts.model_path:

@@ -148,3 +148,95 @@ def test_export_int8_path(tmp_path):
     np.testing.assert_array_equal(served(imgs),
                                   engine.upscale_batch(imgs))
     assert read_meta(path)["precision_path"] == "int8-w8a8"
+
+
+def test_export_rejects_pallas_interpreter(tmp_path):
+    """On a non-TPU host make_pallas_apply resolves to interpret mode;
+    exporting that would silently bake the (drastically slower)
+    interpreter emulation into the artifact — export must refuse."""
+    from pesr_tpu.models.pallas_apply import make_pallas_apply
+    gen = Generator(scale=2, num_blocks=2, num_channels=8,
+                    dtype=jnp.float32)
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    apply_fn = make_pallas_apply(scale=2)  # interpret=None -> True on CPU
+    assert apply_fn.uses_pallas and apply_fn.pallas_interpret
+    engine = BatchTiledUpscaler(apply_fn, variables, 2, tile_size=16,
+                                overlap=4)
+    with pytest.raises(ValueError, match="Pallas"):
+        export_upscaler(engine, 2, 21, 17,
+                        os.path.join(tmp_path, "pal.pesr"))
+    # Non-TPU-exclusive platform sets are rejected even with real
+    # (non-interpret) kernels requested.
+    apply_hw = make_pallas_apply(scale=2, interpret=False)
+    engine_hw = BatchTiledUpscaler(apply_hw, variables, 2, tile_size=16,
+                                   overlap=4)
+    with pytest.raises(ValueError, match="Pallas"):
+        export_upscaler(engine_hw, 2, 21, 17,
+                        os.path.join(tmp_path, "pal2.pesr"),
+                        platforms=("tpu", "cpu"))
+
+
+def test_meta_records_actual_halos(tmp_path):
+    """grid.ov_h/ov_w are the halos the exported program actually uses
+    (min_halo floor applied per axis), not the constructor's request."""
+    from pesr_tpu.models.quant_apply import (default_calib_tiles,
+                                             int8_inference)
+    gen = Generator(scale=4, num_blocks=1, num_channels=8,
+                    dtype=jnp.float32)
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    imgs = _imgs(b=1, h=12, w=40, seed=5)
+    apply_fn, variables = int8_inference(
+        params, 4, default_calib_tiles([imgs[0]]))
+    engine = BatchTiledUpscaler(apply_fn, variables, 4, tile_size=16,
+                                overlap=0)  # request BELOW min_halo=3
+    meta = export_upscaler(engine, *imgs.shape[:3],
+                           os.path.join(tmp_path, "halo.pesr"))
+    g = meta["grid"]
+    assert g["ov_h"] == engine._ov_for(g["nh"])
+    assert g["ov_w"] == engine._ov_for(g["nw"])
+    assert g["min_halo"] == 3 and g["overlap"] == 0
+    # The multi-tile axis is floored up to min_halo.
+    assert (g["nw"] > 1 and g["ov_w"] >= 3) or g["nw"] == 1
+
+
+def test_load_accepts_gpu_backend_alias(tmp_path, monkeypatch):
+    """jax.default_backend() says 'gpu'; jax.export platform names say
+    'cuda'/'rocm'.  load_upscaler must map between them instead of
+    spuriously rejecting a GPU artifact on the box that exported it."""
+    import pesr_tpu.serving as serving
+    engine = _engine()
+    path = os.path.join(tmp_path, "up.pesr")
+    export_upscaler(engine, 2, 21, 17, path)
+    # Rewrite the platform list as a CUDA export, then pretend to be a
+    # GPU process: the alias must be accepted...
+    import json as _json
+    import zipfile as _zip
+    with _zip.ZipFile(path) as zf:
+        meta = _json.loads(zf.read("meta.json"))
+        blob = zf.read("fn.bin")
+    meta["platforms"] = ["cuda"]
+    with _zip.ZipFile(path, "w") as zf:
+        zf.writestr("meta.json", _json.dumps(meta))
+        zf.writestr("fn.bin", blob)
+    monkeypatch.setattr(serving.jax, "default_backend", lambda: "gpu")
+    try:
+        # May succeed (deserialize doesn't re-check platforms) or fail
+        # downstream; the platform GATE must not be what rejects it.
+        serving.load_upscaler(path)
+    except ValueError as e:
+        assert "re-export with" not in str(e)
+    # ...and a genuinely incompatible backend still errors with the
+    # canonical ('cuda', not 'gpu') suggestion.
+    meta["platforms"] = ["tpu"]
+    with _zip.ZipFile(path, "w") as zf:
+        zf.writestr("meta.json", _json.dumps(meta))
+        zf.writestr("fn.bin", blob)
+    with pytest.raises(ValueError, match="'cuda'"):
+        serving.load_upscaler(path)
+
+
+def test_cli_export_rejects_mesh_flag():
+    import test as test_cli
+    with pytest.raises(SystemExit, match="mesh_shape"):
+        test_cli.main(["--dataset", "synthetic", "--mesh_shape", "2",
+                       "--export_artifact", "/tmp/never.pesr"])
