@@ -117,6 +117,9 @@ class Opts:
                                       # (exact through tiling; models/fold.py)
     quant: str = "none"               # none | int8 (PTQ inference path)
     mesh_shape: str = ""              # e.g. "8" or "" = all local devices
+    mesh_axis: str = "batch"          # multi-chip inference parallelism:
+                                      # batch (DP) | tiles (spatial: N
+                                      # chips cooperate on ONE image)
     distributed: bool = False         # multi-host: jax.distributed bring-up
                                       # before backend use (DCN; SURVEY §2.11)
     vgg_weights: str = ""             # converted VGG19 weights (see convert.py)
@@ -264,6 +267,11 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
                    choices=["none", "int8"],
                    help="post-training-quantized inference path")
     g.add_argument("--mesh_shape", type=str, default=d.mesh_shape)
+    g.add_argument("--mesh_axis", type=str, default=d.mesh_axis,
+                   choices=["batch", "tiles"],
+                   help="multi-chip inference parallelism: shard the "
+                        "image batch (DP throughput) or each image's "
+                        "tile grid (spatial; single-image latency)")
     _add_bool_flag(g, "distributed", d.distributed,
                    "multi-host cluster bring-up (jax.distributed)")
     g.add_argument("--vgg_weights", type=str, default=d.vgg_weights)

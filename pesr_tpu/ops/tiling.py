@@ -163,7 +163,8 @@ class BatchTiledUpscaler:
 
     def __init__(self, apply_fn: Callable, variables, scale: int,
                  tile_size=128, overlap: int = 8, mesh=None,
-                 min_halo: Optional[int] = None) -> None:
+                 min_halo: Optional[int] = None,
+                 mesh_axis: str = "batch") -> None:
         """``tile_size``: int (square tiles), (th, tw) tuple, or the
         string "auto" — pick the rectangular tile splitting each image
         into the fewest near-equal parts whose input area stays under a
@@ -171,20 +172,37 @@ class BatchTiledUpscaler:
         tile perimeter/area ratio, so fewer, larger tiles win until
         memory pressure).
 
-        ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel
-        inference — the image batch shards across the mesh's data axis
-        (each chip upscales its images; no cross-chip traffic), params
-        replicate, and the returned canvas is likewise batch-sharded.
-        The multi-chip analog of BASELINE config 4.
+        ``mesh``: optional ``jax.sharding.Mesh`` for multi-chip
+        inference; ``mesh_axis`` picks the parallelism:
+
+        * ``"batch"`` (default) — data parallel: the image batch shards
+          across the mesh (each chip upscales its images; no cross-chip
+          traffic), params replicate, the returned canvas is likewise
+          batch-sharded.  The multi-chip analog of BASELINE config 4.
+          Throughput-optimal when batch >= mesh size.
+        * ``"tiles"`` — SPATIAL parallelism: each image's TILE GRID
+          shards across the mesh, so N chips cooperate on ONE image.
+          This is the single-image latency story (a batch of 1 leaves
+          N-1 chips idle under DP).  Tiles are independent by
+          construction (halo overlap), so the only collective XLA
+          inserts is the final canvas all-gather — output pixels, tiny
+          vs the conv FLOPs riding ICI-free.  The tile batch is padded
+          to a mesh-size multiple (idle-pad compute <= (N-1)/T).
 
         ``min_halo``: correctness floor for the halo on EVERY border
         (see :func:`required_min_halo`); defaults to the apply
         function's own ``min_halo`` attribute (folded paths need their
         fold band padded+cropped even on single-tile dimensions)."""
+        if mesh_axis not in ("batch", "tiles"):
+            raise ValueError(f"mesh_axis must be 'batch' or 'tiles', "
+                             f"got {mesh_axis!r}")
+        if mesh_axis == "tiles" and mesh is None:
+            raise ValueError("mesh_axis='tiles' requires a mesh")
         self.scale, self.tile, self.ov = scale, tile_size, overlap
         self.min_halo = (required_min_halo(apply_fn) if min_halo is None
                          else int(min_halo))
         self.mesh = mesh
+        self.mesh_axis = mesh_axis
         if mesh is not None:
             from pesr_tpu.parallel import shard_pytree_replicated
             variables = shard_pytree_replicated(mesh, variables)
@@ -207,6 +225,12 @@ class BatchTiledUpscaler:
 
     def _tile_hw(self, h: int, w: int, b: int = 8) -> Tuple[int, int]:
         if self.tile == "auto":
+            # Spatial mode: ALL of a device's tiles are live at once
+            # (one big apply over the tile batch), so the HBM budget
+            # covers b * ceil(T/ndev) tiles, and mesh-pad tiles burn
+            # real compute — both enter the search below.
+            ndev = (self.mesh.size if self.mesh is not None
+                    and self.mesh_axis == "tiles" else 0)
             max_area = max(self._AUTO_PIXEL_BUDGET // max(b, 1),
                            136 * 96)
             best = None
@@ -218,9 +242,18 @@ class BatchTiledUpscaler:
                     # (see _build)
                     area_in = ((th + 2 * self._ov_for(nh))
                                * (tw + 2 * self._ov_for(nw)))
-                    if area_in > max_area:
-                        continue
-                    waste = nh * nw * area_in  # total input px processed
+                    if ndev:
+                        per_dev = math.ceil(nh * nw / ndev)
+                        if area_in * per_dev * max(b, 1) > \
+                                self._AUTO_PIXEL_BUDGET:
+                            continue
+                        # padded grid: every device processes per_dev
+                        # tiles whether real or pad
+                        waste = per_dev * ndev * area_in
+                    else:
+                        if area_in > max_area:
+                            continue
+                        waste = nh * nw * area_in  # total input px
                     if best is None or waste < best[0]:
                         best = (waste, th, tw)
             if best is None:  # image larger than any budgeted grid
@@ -245,9 +278,12 @@ class BatchTiledUpscaler:
 
     def _build(self, b: int, h: int, w: int, float_out: bool = False):
         s = self.scale
-        # HBM budget is per chip: with a mesh, each device holds only
-        # its batch shard.
-        b_dev = -(-b // self.mesh.size) if self.mesh is not None else b
+        # HBM budget is per chip: under batch-DP each device holds only
+        # its batch shard (spatial mode keeps the full batch and splits
+        # the TILE axis instead — _tile_hw accounts for that itself).
+        b_dev = (-(-b // self.mesh.size)
+                 if self.mesh is not None and self.mesh_axis == "batch"
+                 else b)
         th, tw = self._tile_hw(h, w, b_dev)
         # Clamp to the image: an oversized fixed tile (tile_size=128 on
         # a 100px dim) would replicate-fill the grid remainder, so SAME
@@ -259,6 +295,58 @@ class BatchTiledUpscaler:
         nh, nw = math.ceil(h / th), math.ceil(w / tw)
         ov_h, ov_w = self._ov_for(nh), self._ov_for(nw)
         apply_fn = self._apply_fn
+
+        if self.mesh is not None and self.mesh_axis == "tiles":
+
+            def run_sp(variables, imgs_u8: jnp.ndarray) -> jnp.ndarray:
+                # Spatial parallelism: materialize the WHOLE tile batch
+                # and shard its leading (tile) axis across the mesh —
+                # N chips cooperate on each image.  Tile extraction is
+                # static slices of a replicated input (uint8, cheap);
+                # the conv FLOPs then run collective-free per shard and
+                # XLA inserts one all-gather for the final canvas.
+                from pesr_tpu.parallel import DATA_AXIS, replicated
+                from jax.sharding import NamedSharding, PartitionSpec
+                bsz = imgs_u8.shape[0]
+                ndev = self.mesh.size
+                x = normalize_uint8(imgs_u8)
+                x = _pad_edge_device(x, (ov_h, nh * th - h + ov_h,
+                                         ov_w, nw * tw - w + ov_w))
+                # [T, bsz, th+2ov_h, tw+2ov_w, 3], tile-position major.
+                tiles = jnp.stack([
+                    jax.lax.slice(
+                        x, (0, i * th, j * tw, 0),
+                        (bsz, i * th + th + 2 * ov_h,
+                         j * tw + tw + 2 * ov_w, 3))
+                    for i in range(nh) for j in range(nw)])
+                t_total = nh * nw
+                pad = -t_total % ndev
+                if pad:
+                    tiles = jnp.concatenate(
+                        [tiles, jnp.zeros((pad,) + tiles.shape[1:],
+                                          tiles.dtype)])
+                flat = tiles.reshape((t_total + pad) * bsz,
+                                     th + 2 * ov_h, tw + 2 * ov_w, 3)
+                flat = jax.lax.with_sharding_constraint(
+                    flat, NamedSharding(self.mesh,
+                                        PartitionSpec(DATA_AXIS)))
+                sr = apply_fn(variables, flat)
+                core_f = sr[:, ov_h * s:(ov_h + th) * s,
+                            ov_w * s:(ov_w + tw) * s, :]
+                core_f = core_f.reshape(t_total + pad, bsz,
+                                        th * s, tw * s, 3)[:t_total]
+                core_f = core_f.reshape(nh, nw, bsz, th * s, tw * s, 3)
+                canvas_f = core_f.transpose(2, 0, 3, 1, 4, 5).reshape(
+                    bsz, nh * th * s, nw * tw * s, 3)
+                canvas = ((canvas_f.astype(jnp.float32) + 1.0) * 127.5
+                          if float_out
+                          else denormalize_to_uint8(canvas_f))
+                # Explicit all-gather here (not at fetch) so downstream
+                # device-resident consumers see a replicated canvas.
+                return jax.lax.with_sharding_constraint(
+                    canvas, replicated(self.mesh))
+
+            return jax.jit(run_sp), (nh, nw, th, tw)
 
         def run(variables, imgs_u8: jnp.ndarray) -> jnp.ndarray:
             # Replicate-pad ON DEVICE (raw uint8 goes up, nothing more):
@@ -308,7 +396,14 @@ class BatchTiledUpscaler:
         if key not in self._compiled:
             self._compiled[key] = self._build(b, h, w, float_out)
         run, _grid = self._compiled[key]
-        if self.mesh is not None:
+        if self.mesh is not None and self.mesh_axis == "tiles":
+            # Spatial mode reads slices of the input everywhere: land it
+            # replicated so tile extraction is local on every chip.
+            from pesr_tpu.parallel import replicated
+            want = replicated(self.mesh)
+            if getattr(imgs_u8, "sharding", None) != want:
+                imgs_u8 = jax.device_put(imgs_u8, want)
+        elif self.mesh is not None:
             # Ensure the batch axis is actually sharded over the mesh.
             # Host arrays AND device arrays landed on one default device
             # (e.g. bench.py's resident upload) both need the put — a

@@ -135,7 +135,10 @@ def main(argv=None) -> int:
         # bench.py measures the 50 MP/s/chip contract with (round-1
         # verdict weak #3: test.py must use the fast path too).
         # --mesh_shape N shards the image batch across N chips
-        # (data-parallel inference; BASELINE config 4 multi-chip form).
+        # (data-parallel inference; BASELINE config 4 multi-chip form);
+        # --mesh_axis tiles instead shards each image's TILE GRID over
+        # the mesh (spatial parallelism: N chips cooperate on one
+        # image — the single-image latency story).
         # --self_ensemble keeps THIS engine: the eight dihedral TTA
         # branches and the single rounding ride on device (round-2
         # verdict weak #8 — the old square-96 host-stitch fallback paid
@@ -146,10 +149,13 @@ def main(argv=None) -> int:
         if opts.mesh_shape:
             from pesr_tpu.parallel import make_mesh
             mesh = make_mesh(int(opts.mesh_shape))
-            print(f"inference mesh: {mesh.devices.size} device(s)")
+            print(f"inference mesh: {mesh.devices.size} device(s), "
+                  f"{opts.mesh_axis}-sharded")
         engine = BatchTiledUpscaler(apply_fn, variables, opts.scale,
                                     opts.tile_size, opts.tile_overlap,
-                                    mesh=mesh)
+                                    mesh=mesh,
+                                    mesh_axis=(opts.mesh_axis if mesh
+                                               else "batch"))
         if opts.export_artifact:
             # AOT serving bundle (pesr_tpu/serving.py): fixed shape =
             # the first eval image at --infer_batch.  Hermetic — loads

@@ -421,3 +421,104 @@ def test_upscale_many_se_flag_matches_batch_se():
     for im, sr in zip(imgs, got):
         ref = np.asarray(eng.upscale_batch_se_device(im[None]))[0]
         np.testing.assert_array_equal(sr, ref)
+
+
+def test_spatial_parallel_matches_single_device():
+    """mesh_axis='tiles' (spatial parallelism): 8 devices cooperating on
+    ONE image reproduce the single-device engine bitwise, including a
+    tile count that pads to the mesh size (3x3 grid -> pad 7) and the
+    replicated output canvas for downstream on-device consumers."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    from pesr_tpu.parallel import make_mesh, replicated
+
+    variables = _gen_params()
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (1, 37, 45, 3), dtype=np.uint8)
+
+    solo = BatchTiledUpscaler(GEN.apply, variables, SCALE,
+                              tile_size=16, overlap=8)
+    mesh = make_mesh(8)
+    sp = BatchTiledUpscaler(GEN.apply, variables, SCALE,
+                            tile_size=16, overlap=8,
+                            mesh=mesh, mesh_axis="tiles")
+    np.testing.assert_array_equal(sp.upscale_batch(img),
+                                  solo.upscale_batch(img))
+    canvas = sp.upscale_batch_device(img)
+    assert canvas.sharding == replicated(mesh)
+
+    # batch > 1 rides along (tile axis still the sharded one).
+    imgs = rng.integers(0, 255, (2, 37, 45, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(sp.upscale_batch(imgs),
+                                  solo.upscale_batch(imgs))
+
+
+def test_spatial_parallel_int8_fold_path():
+    """Spatial mode composes with the folded int8 path: the min_halo
+    floor applies per tile exactly as on one chip (bitwise)."""
+    from pesr_tpu.models.quant_apply import (default_calib_tiles,
+                                             int8_inference)
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    from pesr_tpu.parallel import make_mesh
+
+    params = _gen_params()["params"]
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 255, (1, 40, 52, 3), dtype=np.uint8)
+    apply_fn, variables = int8_inference(
+        params, SCALE, default_calib_tiles([img[0]]))
+    solo = BatchTiledUpscaler(apply_fn, variables, SCALE,
+                              tile_size=16, overlap=8)
+    sp = BatchTiledUpscaler(apply_fn, variables, SCALE,
+                            tile_size=16, overlap=8,
+                            mesh=make_mesh(8), mesh_axis="tiles")
+    np.testing.assert_array_equal(sp.upscale_batch(img),
+                                  solo.upscale_batch(img))
+
+
+def test_spatial_parallel_self_ensemble():
+    """x8 TTA through the spatial engine (float canvas path) matches the
+    single-device device-resident self-ensemble bitwise."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    from pesr_tpu.parallel import make_mesh
+
+    variables = _gen_params()
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (1, 37, 29, 3), dtype=np.uint8)
+    solo = BatchTiledUpscaler(GEN.apply, variables, SCALE,
+                              tile_size=16, overlap=8)
+    sp = BatchTiledUpscaler(GEN.apply, variables, SCALE,
+                            tile_size=16, overlap=8,
+                            mesh=make_mesh(8), mesh_axis="tiles")
+    np.testing.assert_array_equal(
+        np.asarray(sp.upscale_batch_se_device(img)),
+        np.asarray(solo.upscale_batch_se_device(img)))
+
+
+def test_spatial_auto_chooser_budgets_per_device():
+    """In spatial mode the auto chooser budgets the WHOLE per-device
+    tile batch (all tiles live at once) including mesh-pad tiles."""
+    import math
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    from pesr_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    eng = BatchTiledUpscaler(lambda v, x: x, {}, 4, "auto", 8,
+                             mesh=mesh, mesh_axis="tiles")
+    h, w, b = 2160, 3840, 1  # one 4K image across 8 chips
+    th, tw = eng._tile_hw(h, w, b)
+    nh, nw = math.ceil(h / th), math.ceil(w / tw)
+    area = (th + 2 * eng._ov_for(nh)) * (tw + 2 * eng._ov_for(nw))
+    per_dev = math.ceil(nh * nw / mesh.size)
+    assert area * per_dev * b <= eng._AUTO_PIXEL_BUDGET
+    assert nh * nw >= mesh.size  # big image: every chip gets real work
+
+
+def test_mesh_axis_validation():
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    from pesr_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="mesh_axis"):
+        BatchTiledUpscaler(lambda v, x: x, {}, 2, 16, 8,
+                           mesh=make_mesh(None), mesh_axis="bogus")
+    with pytest.raises(ValueError, match="requires a mesh"):
+        BatchTiledUpscaler(lambda v, x: x, {}, 2, 16, 8,
+                           mesh_axis="tiles")
