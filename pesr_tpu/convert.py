@@ -31,7 +31,7 @@ trunk order, so the same positional mapping fills VGG19Features
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -312,6 +312,59 @@ def load_generator_weights(path: str, template: Any, num_blocks: int,
     return converted
 
 
+def _hwio_to_oihw(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w, np.float32
+                                           ).transpose(3, 2, 0, 1))
+
+
+def export_torch_generator(params: Dict[str, Any],
+                           scale: int) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_torch_generator`: flax Generator params
+    -> an EDSR-lineage torch-style state_dict (OIHW float32 ndarrays,
+    registration order head / body / tail-conv / upsampler / out).
+
+    Completes the checkpoint interchange (SURVEY.md §5.4): models
+    trained here hand a ``.pth`` back to reference-ecosystem tooling,
+    and the pair round-trips bitwise through our own importer (pinned
+    in tests/test_convert.py).  Key names follow the EDSR ``Sequential``
+    convention (``body.{i}.body.{0,2}``, ``tail.0.{2s}``); the importer
+    side is positional, so order is the contract and names are
+    cosmetic."""
+    num_stages = {1: 0, 2: 1, 4: 2, 8: 3}[scale]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(name: str, leaf: Dict[str, Any],
+            index: Optional[int] = None) -> None:
+        k, b = leaf["kernel"], leaf["bias"]
+        if index is not None:
+            k, b = k[index], b[index]
+        sd[name + ".weight"] = _hwio_to_oihw(k)
+        sd[name + ".bias"] = np.asarray(b, np.float32)
+
+    put("head.0", params["head"])
+    blk = params["body"]["block"]
+    num_blocks = int(np.shape(blk["conv1"]["kernel"])[0])
+    for i in range(num_blocks):
+        put(f"body.{i}.body.0", blk["conv1"], i)
+        put(f"body.{i}.body.2", blk["conv2"], i)
+    put(f"body.{num_blocks}", params["tail"])
+    for s in range(num_stages):
+        put(f"tail.0.{2 * s}", params["upsampler"][f"conv{s}"])
+    put("tail.1" if num_stages else "tail.0", params["out"])
+    return sd
+
+
+def save_generator_torch(params: Dict[str, Any], scale: int,
+                         path: str) -> int:
+    """Write flax Generator params as a torch ``.pth`` state_dict.
+    Returns the parameter count."""
+    import torch
+
+    sd = export_torch_generator(params, scale)
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
+    return sum(v.size for v in sd.values())
+
+
 def load_discriminator_params(path: str, template: Any,
                               hr_size: int) -> Any:
     """``--pretrained_d`` entry point: accepts a torch ``.pth`` OR an
@@ -349,19 +402,27 @@ def main(argv=None) -> int:
         python -m pesr_tpu.convert D.pth out_d --kind discriminator \\
             --hr_size 192
         python -m pesr_tpu.convert vgg19.pth out_vgg --kind vgg19
+        python -m pesr_tpu.convert ckpt_dir out.pth --to_torch \\
+            --scale 4   # REVERSE: orbax generator ckpt -> torch .pth
 
     Writes an orbax checkpoint loadable by ``test.py --model_path
     out_ckpt`` / ``train.py --pretrained_model out_ckpt`` (generator
     kind) — convert a reference torch checkpoint once instead of on
-    every run.
+    every run.  ``--to_torch`` goes the other way: hand a model trained
+    here back to reference-ecosystem tooling as a ``.pth``.
     """
     import argparse
 
     p = argparse.ArgumentParser(description=main.__doc__)
-    p.add_argument("src", help="torch .pt/.pth checkpoint")
-    p.add_argument("dst", help="output orbax checkpoint directory")
+    p.add_argument("src", help="torch .pt/.pth checkpoint (or an orbax "
+                               "checkpoint dir with --to_torch)")
+    p.add_argument("dst", help="output orbax checkpoint directory (or "
+                               ".pth path with --to_torch)")
     p.add_argument("--kind", default="generator",
                    choices=["generator", "discriminator", "vgg19"])
+    p.add_argument("--to_torch", action="store_true",
+                   help="reverse direction: orbax generator checkpoint "
+                        "-> torch state_dict .pth")
     p.add_argument("--num_blocks", type=int, default=32)
     p.add_argument("--num_channels", type=int, default=256)
     p.add_argument("--scale", type=int, default=4)
@@ -374,6 +435,17 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
+
+    if args.to_torch:
+        if args.kind != "generator":
+            raise SystemExit("--to_torch supports --kind generator only")
+        from pesr_tpu.training.checkpoint import restore_generator_params
+        params, step = restore_generator_params(args.src)
+        n = save_generator_torch(params, args.scale, args.dst)
+        print(f"exported {args.src} (step {step}) -> {args.dst} "
+              f"({n / 1e6:.2f} M params, torch state_dict, "
+              f"x{args.scale})")
+        return 0
 
     if args.kind == "generator":
         from pesr_tpu.models import Generator

@@ -267,3 +267,56 @@ def test_load_vgg_weights_with_truncated_template(tmp_path):
             cv.load_vgg_weights(partial_path, template)
     finally:
         vggmod._VGG19_CFG = orig
+
+
+def test_export_torch_generator_roundtrip(tmp_path):
+    """flax -> torch .pth -> flax round-trips bitwise through our own
+    importer, for every scale's stage count (the interchange contract:
+    models trained here hand a .pth back to reference tooling)."""
+    from pesr_tpu.convert import (load_generator_weights,
+                                  save_generator_torch)
+
+    for scale in (1, 2, 4, 8):
+        gen = Generator(scale=scale, num_blocks=3, num_channels=8,
+                        dtype=jnp.float32)
+        variables = gen.init(jax.random.key(scale),
+                             jnp.zeros((1, 8, 8, 3)))
+        params = variables["params"]
+        path = str(tmp_path / f"g_x{scale}.pth")
+        n = save_generator_torch(params, scale, path)
+        assert n == sum(int(np.asarray(v).size) for v in
+                        jax.tree_util.tree_leaves(params))
+        back = load_generator_weights(path, params, 3, scale)
+        flat_a = jax.tree_util.tree_leaves_with_path(params)
+        flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+        for k, va in flat_a:
+            np.testing.assert_array_equal(np.asarray(va, np.float32),
+                                          flat_b[k], err_msg=str(k))
+
+
+@pytest.mark.slow
+def test_convert_cli_to_torch(tmp_path):
+    """The --to_torch CLI direction: orbax ckpt dir -> .pth that
+    test.py then loads directly as a torch checkpoint."""
+    import orbax.checkpoint as ocp
+
+    from pesr_tpu.convert import main as convert_main
+
+    gen = Generator(scale=2, num_blocks=2, num_channels=8,
+                    dtype=jnp.float32)
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    ckpt_dir = str(tmp_path / "ckpt")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(ckpt_dir, {"step": np.asarray(7),
+                              "g": {"params": variables["params"]}})
+    pth = str(tmp_path / "g.pth")
+    rc = convert_main([ckpt_dir, pth, "--to_torch", "--scale", "2"])
+    assert rc == 0 and torch.load(pth, weights_only=True)
+
+    import test as test_cli
+    rc = test_cli.main(["--dataset", "synthetic", "--scale", "2",
+                        "--num_blocks", "2", "--num_channels", "8",
+                        "--compute_dtype", "float32",
+                        "--model_path", pth,
+                        "--output_dir", str(tmp_path / "out")])
+    assert rc == 0
