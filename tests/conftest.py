@@ -20,5 +20,14 @@ if _ROOT not in sys.path:
 # exercises the real chip); the shared helper also overrides the TPU
 # plugin's sitecustomize jax_platforms pin.
 from pesr_tpu.parallel import force_cpu_devices  # noqa: E402
+from pesr_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
 force_cpu_devices(8)
+
+# Persistent XLA compile cache for the suite: the single-core harness
+# spends most of its wall-clock on hundreds of small CPU compiles, and
+# they are identical run-to-run.  min_secs=1 (vs the entry points' 5)
+# because the suite's cost is exactly those 1-5 s programs.  Opt out
+# with PESR_TEST_NO_CACHE=1 to measure cold-compile times.
+if not os.environ.get("PESR_TEST_NO_CACHE"):
+    enable_compile_cache(min_secs=1)

@@ -75,8 +75,11 @@ def test_generator_remat_same_params_and_grads():
 
 
 def test_discriminator_logits_shape():
-    d = Discriminator(dtype=jnp.float32)
-    x = jnp.zeros((4, 96, 96, 3))
+    # Narrow schedule: the shape/dtype contract is schedule-independent
+    # and the flagship 64..512 widths cost ~12 s of CPU compile alone.
+    d = Discriminator(channel_schedule=(8, 8, 16, 16), dense_features=32,
+                      dtype=jnp.float32)
+    x = jnp.zeros((4, 32, 32, 3))
     params = d.init(jax.random.key(0), x)
     logits = d.apply(params, x)
     assert logits.shape == (4, 1)
