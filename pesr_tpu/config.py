@@ -17,8 +17,9 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import math
 from typing import Optional, Tuple
+
+from pesr_tpu.scales import upsample_stages
 
 
 # --------------------------------------------------------------------------
@@ -130,10 +131,7 @@ class Opts:
 
     @property
     def num_upsample_stages(self) -> int:
-        stages = int(round(math.log2(self.scale)))
-        if 2 ** stages != self.scale:
-            raise ValueError(f"scale must be a power of two, got {self.scale}")
-        return stages
+        return len(upsample_stages(self.scale))  # ValueError on e.g. 5
 
 
 # --------------------------------------------------------------------------
@@ -172,7 +170,7 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
 
     g = p.add_argument_group("model")
     g.add_argument("--scale", type=int, default=d.scale,
-                   help="super-resolution scale (power of two)")
+                   help="super-resolution scale (any 2^a*3^b: 1/2/3/4/6/8/...)")
     g.add_argument("--num_channels", type=int, default=d.num_channels)
     g.add_argument("--num_blocks", type=int, default=d.num_blocks)
     g.add_argument("--res_scale", type=float, default=d.res_scale)
@@ -285,4 +283,6 @@ def opts_from_args(argv: Optional[Tuple[str, ...]] = None,
     ns = vars(build_parser(mode).parse_args(argv))
     ns["use_gp"] = ns.pop("GP", Opts.use_gp)
     fields = {f.name for f in dataclasses.fields(Opts)}
-    return Opts(**{k: v for k, v in ns.items() if k in fields})
+    opts = Opts(**{k: v for k, v in ns.items() if k in fields})
+    upsample_stages(opts.scale)  # fail fast at parse time on e.g. 5
+    return opts

@@ -35,6 +35,8 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from pesr_tpu.scales import upsample_stages
+
 
 def _as_numpy(t: Any) -> np.ndarray:
     """torch.Tensor | ndarray -> float32 ndarray without importing torch
@@ -70,7 +72,7 @@ def convert_torch_generator(state_dict: Dict[str, Any], num_blocks: int,
                             scale: int) -> Dict[str, Any]:
     """Positionally map an EDSR-style torch state_dict onto the flax
     Generator param tree (models/generator.py naming)."""
-    num_stages = {1: 0, 2: 1, 4: 2, 8: 3}[scale]
+    num_stages = len(upsample_stages(scale))
     convs = extract_conv_pairs(state_dict)
     expected = 1 + 2 * num_blocks + 1 + num_stages + 1
     if len(convs) != expected:
@@ -330,7 +332,7 @@ def export_torch_generator(params: Dict[str, Any],
     convention (``body.{i}.body.{0,2}``, ``tail.0.{2s}``); the importer
     side is positional, so order is the contract and names are
     cosmetic."""
-    num_stages = {1: 0, 2: 1, 4: 2, 8: 3}[scale]
+    num_stages = len(upsample_stages(scale))
     sd: Dict[str, np.ndarray] = {}
 
     def put(name: str, leaf: Dict[str, Any],

@@ -38,29 +38,29 @@ bugs and verified against the reference apply in tests/test_fold.py.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pesr_tpu.ops.pixel_shuffle import pixel_shuffle
+from pesr_tpu.ops.pixel_shuffle import (fold_min_halo, pixel_shuffle,
+                                        upsample_stages)
 
 
 def _chain_apply(up_params: Dict[str, Any], out_params: Dict[str, Any],
-                 num_stages: int, x: jnp.ndarray) -> jnp.ndarray:
+                 stages: Tuple[int, ...], x: jnp.ndarray) -> jnp.ndarray:
     """The original linear chain (f32, HIGHEST precision): per-stage
-    [conv3x3 SAME, pixel_shuffle(2)] then the 3x3 SAME out-conv."""
+    [conv3x3 SAME, pixel_shuffle(f)] then the 3x3 SAME out-conv."""
     hi = jax.lax.Precision.HIGHEST
     y = x.astype(jnp.float32)
-    for i in range(num_stages):
+    for i, f in enumerate(stages):
         p = up_params[f"conv{i}"]
         y = jax.lax.conv_general_dilated(
             y, jnp.asarray(p["kernel"], jnp.float32), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=hi)
         y = y + jnp.asarray(p["bias"], jnp.float32)
-        y = pixel_shuffle(y, 2)
+        y = pixel_shuffle(y, f)
     y = jax.lax.conv_general_dilated(
         y, jnp.asarray(out_params["kernel"], jnp.float32), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=hi)
@@ -81,8 +81,9 @@ def fold_upsampler(params: Dict[str, Any], scale: int
     support is trimmed to its (possibly asymmetric — pixel-shuffle
     phases are not center-symmetric) nonzero bounding box.
     """
-    num_stages = {1: 0, 2: 1, 4: 2, 8: 3}[scale]
-    s = 2 ** num_stages
+    stages = upsample_stages(scale)  # (2, 2) for x4, (3,) for x3, ...
+    num_stages = len(stages)
+    s = scale
     up = params.get("upsampler", {})
     out = params["out"]
     c = int(np.asarray(out["kernel"]).shape[2]) if num_stages == 0 else \
@@ -102,7 +103,7 @@ def fold_upsampler(params: Dict[str, Any], scale: int
     m0 = r + 2
     p_in = 2 * m0 + cols * spacing
 
-    chain = jax.jit(functools.partial(_chain_apply, up, out, num_stages))
+    chain = jax.jit(functools.partial(_chain_apply, up, out, stages))
 
     # Bias field = response to zero input (constant on the interior per
     # phase; read at an impulse site).
@@ -207,9 +208,7 @@ def make_folded_apply(scale: int, res_scale: float = 0.1,
     # away from a zero-padded border, so every border — including outer
     # image borders covered by a single tile — must carry at least this
     # much replicate-padded context, cropped after the forward.
-    # num_stages = log2(scale) for any power-of-two scale the config
-    # accepts (a dict here KeyError'd on scale 16 — round-3 advisor).
-    apply.min_halo = 0 if scale == 1 else int(math.log2(scale)) + 1
+    apply.min_halo = fold_min_halo(scale)
     return apply
 
 

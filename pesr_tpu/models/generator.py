@@ -31,7 +31,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pesr_tpu.ops.pixel_shuffle import pixel_shuffle
+from pesr_tpu.ops.pixel_shuffle import pixel_shuffle, upsample_stages
 
 Dtype = Any
 
@@ -72,20 +72,22 @@ class _ScanBody(nn.Module):
 
 
 class Upsampler(nn.Module):
-    """x2 sub-pixel stages: [conv C->4C, depth-to-space(2)] per stage."""
+    """Sub-pixel stages: [conv C->f^2*C, depth-to-space(f)] per stage
+    (f = 2 per stage for power-of-two scales, one f = 3 stage for the
+    DIV2K X3 track — see ops.pixel_shuffle.upsample_stages)."""
 
     num_channels: int
-    num_stages: int
+    stages: tuple  # per-stage factors, e.g. (2, 2) for x4, (3,) for x3
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        for i in range(self.num_stages):
-            x = nn.Conv(4 * self.num_channels, (3, 3), padding="SAME",
+        for i, f in enumerate(self.stages):
+            x = nn.Conv(f * f * self.num_channels, (3, 3), padding="SAME",
                         dtype=self.dtype, param_dtype=self.param_dtype,
                         name=f"conv{i}")(x)
-            x = pixel_shuffle(x, 2)
+            x = pixel_shuffle(x, f)
         return x
 
 
@@ -110,11 +112,7 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        stage_map = {1: 0, 2: 1, 4: 2, 8: 3}
-        if self.scale not in stage_map:
-            raise ValueError(
-                f"scale must be one of {sorted(stage_map)}, got {self.scale}")
-        num_stages = stage_map[self.scale]
+        stages = upsample_stages(self.scale)  # ValueError on e.g. 5
         x = x.astype(self.dtype)
 
         head = nn.Conv(self.num_channels, (3, 3), padding="SAME",
@@ -138,7 +136,7 @@ class Generator(nn.Module):
                     name="tail")(y)
         y = y + head  # global skip (SURVEY.md §3.4)
 
-        y = Upsampler(self.num_channels, num_stages, self.dtype,
+        y = Upsampler(self.num_channels, stages, self.dtype,
                       self.param_dtype, name="upsampler")(y)
         out = nn.Conv(self.img_channels, (3, 3), padding="SAME",
                       dtype=self.dtype, param_dtype=self.param_dtype,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from pesr_tpu.ops.pallas.resblock import fused_resblock
 from pesr_tpu.ops.pallas.upsampler import fused_upsampler_stage
+from pesr_tpu.ops.pixel_shuffle import pixel_shuffle, upsample_stages
 
 
 def _conv(x: jnp.ndarray, p: Any, dtype) -> jnp.ndarray:
@@ -50,7 +51,7 @@ def make_pallas_apply(scale: int, res_scale: float = 0.1,
     Differentiable end-to-end — each kernel carries a custom_vjp — so
     this apply_fn drops into training states as well as inference.
     """
-    num_stages = {1: 0, 2: 1, 4: 2, 8: 3}[scale]
+    stages = upsample_stages(scale)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -75,11 +76,19 @@ def make_pallas_apply(scale: int, res_scale: float = 0.1,
              blk["conv2"]["kernel"], blk["conv2"]["bias"]))
 
         y = _conv(y, p["tail"], dtype) + head
-        for i in range(num_stages):
+        for i, f in enumerate(stages):
             up = p["upsampler"][f"conv{i}"]
-            y = fused_upsampler_stage(y, up["kernel"].astype(dtype),
-                                      up["bias"].astype(dtype),
-                                      tile=tile, interpret=interpret)
+            if f == 2:
+                y = fused_upsampler_stage(y, up["kernel"].astype(dtype),
+                                          up["bias"].astype(dtype),
+                                          tile=tile, interpret=interpret)
+            else:
+                # The fused kernel is written for the x2 stage layout
+                # (4 depth-to-space phases = 4 contiguous slices); x3
+                # stages (DIV2K X3 track) take the XLA reference —
+                # identical numerics, and the body (the FLOPs) is still
+                # the fused Pallas path.
+                y = pixel_shuffle(_conv(y, up, dtype), f)
         out = _conv(y, p["out"], dtype)
         return out.astype(jnp.float32)
 

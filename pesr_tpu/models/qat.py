@@ -29,7 +29,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from pesr_tpu.ops.pixel_shuffle import pixel_shuffle
+from pesr_tpu.ops.pixel_shuffle import pixel_shuffle, upsample_stages
 
 
 def _ste_round(x: jnp.ndarray) -> jnp.ndarray:
@@ -70,7 +70,7 @@ def make_qat_apply(scale: int, res_scale: float = 0.1,
     params tree, with the body+tail convs fake-quantized exactly as the
     int8 inference path quantizes them (head/upsampler/out stay float,
     mirroring quant_apply's endpoint policy)."""
-    num_stages = {1: 0, 2: 1, 4: 2, 8: 3}[scale]
+    stages = upsample_stages(scale)
 
     def _conv(x, p):
         y = jax.lax.conv_general_dilated(
@@ -96,10 +96,10 @@ def make_qat_apply(scale: int, res_scale: float = 0.1,
         y = fake_quant_conv(y, p["tail"]["kernel"], p["tail"]["bias"],
                             dtype) + head
 
-        for i in range(num_stages):
+        for i, f in enumerate(stages):
             up = p["upsampler"][f"conv{i}"]
             y = _conv(y, up)
-            y = pixel_shuffle(y, 2)
+            y = pixel_shuffle(y, f)
         out = _conv(y, p["out"])
         return out.astype(jnp.float32)
 

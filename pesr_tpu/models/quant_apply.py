@@ -37,7 +37,6 @@ needed; test.py calibrates on the eval set's own LR tiles.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
@@ -45,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pesr_tpu.models.fold import fold_generator_params
+from pesr_tpu.ops.pixel_shuffle import fold_min_halo
 
 
 def _conv_bf16(x: jnp.ndarray, p: Dict[str, Any],
@@ -247,7 +247,7 @@ def make_int8_apply(scale: int, res_scale: float = 0.1,
     # The int8 path always uses the folded upsampler, so it inherits the
     # fold's border band: the tiling engines must pad+crop at least this
     # much on every border (see models/fold.py and ops/tiling.py).
-    apply.min_halo = 0 if scale == 1 else int(math.log2(scale)) + 1
+    apply.min_halo = fold_min_halo(scale)
     return apply
 
 

@@ -20,6 +20,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+# Stage factorization helpers live in the jax-free pesr_tpu.scales
+# (config/convert import them without touching a backend); re-exported
+# here because model code naturally finds them next to pixel_shuffle.
+from pesr_tpu.scales import fold_min_halo, upsample_stages  # noqa: F401,E402
+
+
 def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     """Depth-to-space: [B, H, W, C*r^2] -> [B, H*r, W*r, C] (NHWC)."""
     if r == 1:

@@ -11,6 +11,7 @@ import torch.nn as nn
 from pesr_tpu.convert import convert_torch_generator
 from pesr_tpu.models import Generator
 from pesr_tpu.models.vgg import vgg_layer_names
+from pesr_tpu.scales import upsample_stages
 
 
 class _TorchGen(nn.Module):
@@ -24,10 +25,9 @@ class _TorchGen(nn.Module):
         self.body = nn.ModuleList(body)
         self.tail = nn.Conv2d(ch, ch, 3, padding=1)
         ups = []
-        n = {1: 0, 2: 1, 4: 2, 8: 3}[scale]
-        for _ in range(n):
-            ups += [nn.Conv2d(ch, 4 * ch, 3, padding=1),
-                    nn.PixelShuffle(2)]
+        for f in upsample_stages(scale):
+            ups += [nn.Conv2d(ch, f * f * ch, 3, padding=1),
+                    nn.PixelShuffle(f)]
         self.ups = nn.Sequential(*ups)
         self.out = nn.Conv2d(ch, 3, 3, padding=1)
 
@@ -39,7 +39,7 @@ class _TorchGen(nn.Module):
         return self.out(self.ups(self.tail(y) + h))
 
 
-@pytest.mark.parametrize("scale", [2, 8])
+@pytest.mark.parametrize("scale", [2, 3, 8])
 def test_conversion_parity_other_scales(scale):
     torch.manual_seed(scale)
     tg = _TorchGen(scale)

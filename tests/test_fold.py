@@ -12,6 +12,7 @@ import pytest
 from pesr_tpu.models import Generator
 from pesr_tpu.models.fold import (fold_upsampler, folded_inference,
                                   make_folded_apply, fold_generator_params)
+from pesr_tpu.scales import fold_min_halo
 
 
 def _gen(scale, blocks=2, ch=8):
@@ -19,7 +20,7 @@ def _gen(scale, blocks=2, ch=8):
                      dtype=jnp.float32)
 
 
-@pytest.mark.parametrize("scale", [1, 2, 4, 8])
+@pytest.mark.parametrize("scale", [1, 2, 3, 4, 6, 8])
 def test_folded_matches_reference_interior(scale):
     gen = _gen(scale)
     variables = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
@@ -37,7 +38,7 @@ def test_folded_matches_reference_interior(scale):
     # Interior = everything further than (num_stages+1) LR px from the
     # border (the chain zero-pads intermediates; the fold pads only its
     # input).
-    r = {1: 1, 2: 2, 4: 3, 8: 4}[scale] * scale
+    r = max(1, fold_min_halo(scale)) * scale
     np.testing.assert_allclose(got[:, r:-r, r:-r], ref[:, r:-r, r:-r],
                                atol=2e-5)
     # ... and the borders must actually differ somewhere for scale>1

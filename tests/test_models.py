@@ -12,7 +12,7 @@ def _count_params(tree):
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))
 
 
-@pytest.mark.parametrize("scale", [2, 4, 8])
+@pytest.mark.parametrize("scale", [2, 3, 4, 8])
 def test_generator_output_shape(scale):
     g = Generator(scale=scale, num_blocks=2, num_channels=8,
                   dtype=jnp.float32)

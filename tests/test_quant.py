@@ -12,6 +12,7 @@ from pesr_tpu.models.quant_apply import (_quantize_conv_folded,
                                          collect_calibration,
                                          default_calib_tiles,
                                          int8_inference)
+from pesr_tpu.scales import fold_min_halo
 
 
 def test_quantized_weights_reconstruct_folded_kernel():
@@ -58,7 +59,7 @@ def test_calibration_records_per_channel_amax():
 import pytest
 
 
-@pytest.mark.parametrize("scale", [2, 4, 8])
+@pytest.mark.parametrize("scale", [2, 3, 4, 8])
 def test_int8_apply_close_to_f32_apply_interior(scale):
     gen = Generator(scale=scale, num_blocks=3, num_channels=16,
                     dtype=jnp.float32)
@@ -75,7 +76,7 @@ def test_int8_apply_close_to_f32_apply_interior(scale):
     # Interior only: the folded upsampler's border band (radius
     # num_stages+1 LR px) differs by design and is cropped by the
     # tiled engines.
-    r = ({2: 2, 4: 3, 8: 4}[scale]) * scale
+    r = fold_min_halo(scale) * scale
     ref_i, got_i = ref[:, r:-r, r:-r], got[:, r:-r, r:-r]
     scale = np.abs(ref_i).max() + 1e-9
     rel = np.abs(got_i - ref_i) / scale
