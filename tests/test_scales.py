@@ -91,6 +91,45 @@ def test_x3_tiled_engine_end_to_end():
     assert diff.max() <= 1, (diff.mean(), diff.max())
 
 
+def test_x3_serving_export_roundtrip(tmp_path):
+    """x3 engine exports to a hermetic artifact and reloads bitwise."""
+    import os
+    from pesr_tpu.models import Generator
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    from pesr_tpu.serving import export_upscaler, load_upscaler
+
+    gen = Generator(scale=3, num_blocks=2, num_channels=8,
+                    dtype=jnp.float32)
+    v = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    eng = BatchTiledUpscaler(gen.apply, v, 3, tile_size=16, overlap=4)
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (2, 21, 17, 3), dtype=np.uint8)
+    path = os.path.join(tmp_path, "x3.pesr")
+    meta = export_upscaler(eng, *imgs.shape[:3], path,
+                           precision_path="f32")
+    assert meta["scale"] == 3 and meta["output_crop"] == [63, 51]
+    np.testing.assert_array_equal(load_upscaler(path)(imgs),
+                                  eng.upscale_batch(imgs))
+
+
+def test_x3_spatial_parallel_bitwise():
+    """mesh_axis='tiles' at x3: 8 chips on one image == single-chip."""
+    from pesr_tpu.models import Generator
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    from pesr_tpu.parallel import make_mesh
+
+    gen = Generator(scale=3, num_blocks=2, num_channels=8,
+                    dtype=jnp.float32)
+    v = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    imgs = np.random.default_rng(1).integers(
+        0, 256, (1, 30, 26, 3), dtype=np.uint8)
+    single = BatchTiledUpscaler(gen.apply, v, 3, tile_size=10, overlap=4)
+    spatial = BatchTiledUpscaler(gen.apply, v, 3, tile_size=10, overlap=4,
+                                 mesh=make_mesh(8), mesh_axis="tiles")
+    np.testing.assert_array_equal(spatial.upscale_batch(imgs),
+                                  single.upscale_batch(imgs))
+
+
 def test_x3_pretrain_step_runs():
     from pesr_tpu.config import Opts
     from pesr_tpu.training import create_generator_state, make_pretrain_step
