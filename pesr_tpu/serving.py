@@ -15,6 +15,14 @@ recompiles or host fallbacks at serve time).  Export one artifact per
 served input geometry — each is hermetic, and a fleet can mix them
 freely because nothing is shared at runtime.
 
+Multi-chip: a ``mesh_axis="tiles"`` (spatial-parallel) engine exports
+as a genuine N-device program — the embedded shardings make N chips
+cooperate on each image at serve time, and :func:`load_upscaler`
+rebuilds the mesh and replicates inputs automatically.  Batch-DP
+meshes are intentionally NOT exportable: hermetic single-chip replicas
+shard a batch with zero coordination, so that is the better deploy
+shape (the export error says so).
+
 Cross-platform: pass ``platforms=("tpu", "cpu")`` to lower for both —
 an artifact exported on a CPU dev box then runs unmodified on the TPU
 serving fleet (and vice versa for local debugging).  All production
@@ -67,11 +75,23 @@ def export_upscaler(engine: BatchTiledUpscaler, batch, height: int,
     ``precision_path``: recorded in metadata so a consumer can tell an
     int8-W8A8 artifact from a bf16 one (the program itself is opaque).
     """
+    mesh_devices = 0
     if engine.mesh is not None:
-        raise ValueError(
-            "export_upscaler exports single-chip programs; for DP "
-            "serving, export once and load the artifact on every chip "
-            "(the batch shards trivially across hermetic replicas)")
+        if engine.mesh_axis != "tiles":
+            raise ValueError(
+                "export_upscaler exports single-chip programs for DP "
+                "serving — export once and load the artifact on every "
+                "chip (the batch shards trivially across hermetic "
+                "replicas).  Only mesh_axis='tiles' (spatial "
+                "parallelism: N chips cooperate on ONE image) exports "
+                "as a genuine multi-chip artifact.")
+        if batch in ("any", "dynamic"):
+            raise ValueError(
+                "spatial-parallel artifacts are fixed-batch: the "
+                "exported program's tile-batch sharding is laid out for "
+                "one (batch, H, W); export one artifact per served "
+                "geometry")
+        mesh_devices = int(engine.mesh.size)
     from jax import export as jax_export
 
     if getattr(engine._apply_fn, "uses_pallas", False):
@@ -119,6 +139,10 @@ def export_upscaler(engine: BatchTiledUpscaler, batch, height: int,
         "grid": {"nh": nh, "nw": nw, "th": th, "tw": tw,
                  "ov_h": engine._ov_for(nh), "ov_w": engine._ov_for(nw),
                  "overlap": engine.ov, "min_halo": engine.min_halo},
+        # 0 = single-chip program; N>0 = spatial-parallel
+        # (mesh_axis='tiles') program that must run on exactly N devices
+        # — load_upscaler builds the mesh and replicates inputs.
+        "mesh_devices": mesh_devices,
         "precision_path": precision_path,
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
@@ -154,10 +178,22 @@ class ServingUpscaler:
             return call(imgs_u8)[:, :ch, :cw, :]
 
         self._fn = jax.jit(run)
+        # Spatial-parallel artifacts (mesh_devices > 0) execute over an
+        # N-device mesh: inputs must land replicated on those devices
+        # (export embeds the tile-batch shardings; the input itself is
+        # read everywhere for tile extraction).
+        self._replicated = None
+        if int(meta.get("mesh_devices", 0) or 0):
+            from pesr_tpu.parallel import make_mesh, replicated
+            self._replicated = replicated(
+                make_mesh(int(meta["mesh_devices"])))
 
     def upscale_device(self, imgs_u8) -> jax.Array:
         """Device-resident variant (composition with downstream stages)."""
         imgs_u8 = jnp.asarray(imgs_u8)
+        if (self._replicated is not None
+                and getattr(imgs_u8, "sharding", None) != self._replicated):
+            imgs_u8 = jax.device_put(imgs_u8, self._replicated)
         want = self.input_shape
         got = tuple(imgs_u8.shape)
         shape_ok = (len(got) == 4 and got[1:] == tuple(want[1:])
@@ -195,6 +231,11 @@ def load_upscaler(path: str) -> ServingUpscaler:
             f"artifact was lowered for {meta['platforms']}, but this "
             f"process runs on {backend!r} — re-export with "
             f"platforms={sorted(set(meta['platforms']) | {want})}")
+    need = int(meta.get("mesh_devices", 0) or 0)
+    if need and jax.device_count() < need:
+        raise ValueError(
+            f"spatial-parallel artifact needs {need} devices, this "
+            f"process has {jax.device_count()}")
     return ServingUpscaler(meta, jax_export.deserialize(blob))
 
 

@@ -31,15 +31,18 @@ def main(argv=None) -> int:
     opts = opts_from_args(argv, mode="test")
     if opts.export_artifact and (opts.tile_size == 0
                                  or opts.self_ensemble
-                                 or opts.mesh_shape):
+                                 or (opts.mesh_shape
+                                     and opts.mesh_axis != "tiles")):
         # The artifact is the device-resident tiled program; whole-image
         # mode compiles per image shape, TTA is a host-side composition,
-        # and a meshed engine is a multi-chip program — none map to one
-        # hermetic fixed-shape single-chip export (for DP serving, load
-        # the artifact on every chip).
+        # and a batch-DP meshed engine is better deployed as hermetic
+        # single-chip replicas (load the artifact on every chip).
+        # Spatial parallelism (--mesh_axis tiles) DOES export — it is a
+        # genuine N-device program (pesr_tpu/serving.py).
         raise SystemExit("--export_artifact requires tiled mode "
                          "(--tile_size != 0) without --self_ensemble "
-                         "or --mesh_shape")
+                         "or batch-DP --mesh_shape (spatial "
+                         "--mesh_axis tiles exports)")
     gen = build_generator(opts)
 
     if opts.model_path:

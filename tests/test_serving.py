@@ -102,6 +102,50 @@ def test_export_rejects_mesh_engine(tmp_path):
                         os.path.join(tmp_path, "x.pesr"))
 
 
+def test_export_spatial_parallel_roundtrip(tmp_path):
+    """mesh_axis='tiles' exports as a genuine 8-device program: the
+    reloaded artifact runs the embedded shardings (N chips cooperate on
+    one image) and matches the live spatial engine bitwise."""
+    from pesr_tpu.parallel import make_mesh
+    gen = Generator(scale=2, num_blocks=2, num_channels=8,
+                    dtype=jnp.float32)
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    engine = BatchTiledUpscaler(gen.apply, variables, 2, tile_size=10,
+                                overlap=4, mesh=make_mesh(8),
+                                mesh_axis="tiles")
+    imgs = _imgs(b=1, h=30, w=26)
+    path = os.path.join(tmp_path, "sp.pesr")
+    meta = export_upscaler(engine, 1, 30, 26, path)
+    assert meta["mesh_devices"] == 8
+
+    # Fixed-batch only: the tile-batch sharding is laid out per shape.
+    with pytest.raises(ValueError, match="fixed-batch"):
+        export_upscaler(engine, "any", 30, 26,
+                        os.path.join(tmp_path, "no.pesr"))
+
+    served = load_upscaler(path)
+    got = served(imgs)
+    np.testing.assert_array_equal(got, engine.upscale_batch(imgs))
+    # Device-resident path replicates host input over the mesh itself.
+    got_dev = np.asarray(served.upscale_device(jnp.asarray(imgs)))
+    np.testing.assert_array_equal(got_dev, got)
+
+
+def test_load_spatial_rejects_too_few_devices(tmp_path, monkeypatch):
+    from pesr_tpu.parallel import make_mesh
+    gen = Generator(scale=2, num_blocks=1, num_channels=8,
+                    dtype=jnp.float32)
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    engine = BatchTiledUpscaler(gen.apply, variables, 2, tile_size=16,
+                                overlap=4, mesh=make_mesh(8),
+                                mesh_axis="tiles")
+    path = os.path.join(tmp_path, "sp.pesr")
+    export_upscaler(engine, 1, 21, 17, path)
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 4)
+    with pytest.raises(ValueError, match="needs 8 devices"):
+        load_upscaler(path)
+
+
 @pytest.mark.slow
 def test_cli_export_artifact_flag(tmp_path, capsys):
     """`test.py --export_artifact` end-to-end: flags -> checkpointless
@@ -118,6 +162,25 @@ def test_cli_export_artifact_flag(tmp_path, capsys):
     b, h, w, _ = served.input_shape
     rng = np.random.default_rng(0)
     out = served(rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8))
+    assert out.shape == (b, 2 * h, 2 * w, 3) and out.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_cli_export_spatial_mesh(tmp_path, capsys):
+    """`--mesh_axis tiles --export_artifact` ships an 8-device artifact."""
+    import test as test_cli
+    path = os.path.join(tmp_path, "sp.pesr")
+    rc = test_cli.main(["--dataset", "synthetic", "--scale", "2",
+                        "--num_blocks", "2", "--num_channels", "8",
+                        "--compute_dtype", "float32", "--infer_batch",
+                        "1", "--mesh_shape", "8", "--mesh_axis", "tiles",
+                        "--export_artifact", path])
+    assert rc == 0
+    assert read_meta(path)["mesh_devices"] == 8
+    served = load_upscaler(path)
+    b, h, w, _ = served.input_shape
+    out = served(np.random.default_rng(0).integers(
+        0, 256, (b, h, w, 3), dtype=np.uint8))
     assert out.shape == (b, 2 * h, 2 * w, 3) and out.dtype == np.uint8
 
 
