@@ -114,6 +114,10 @@ class Opts:
     remat: bool = False               # gradient-checkpoint the body scan
                                       # (~3x larger batch*patch^2; one
                                       # extra forward per step)
+    grad_accum: int = 1               # microbatches per optimizer step
+                                      # (grads averaged in-step; ~1/N
+                                      # activation memory, composes with
+                                      # remat; training/steps.py)
     fold: bool = True                 # folded upsampler at inference
                                       # (exact through tiling; models/fold.py)
     quant: str = "none"               # none | int8 (PTQ inference path)
@@ -258,6 +262,11 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
     _add_bool_flag(g, "remat", d.remat,
                    "gradient-checkpoint the residual body (trade one "
                    "extra forward for ~3x activation-memory headroom)")
+    g.add_argument("--grad_accum", type=int, default=d.grad_accum,
+                   help="accumulate gradients over N microbatches per "
+                        "optimizer step (batch_size must divide; exact "
+                        "for per-sample losses, per-microbatch E[C] for "
+                        "relativistic-average GAN types)")
     _add_bool_flag(g, "fold", d.fold,
                    "fold the linear upsampler+out chain into one conv "
                    "at inference (tiled modes; exact on the interior)")
@@ -285,4 +294,11 @@ def opts_from_args(argv: Optional[Tuple[str, ...]] = None,
     fields = {f.name for f in dataclasses.fields(Opts)}
     opts = Opts(**{k: v for k, v in ns.items() if k in fields})
     upsample_stages(opts.scale)  # fail fast at parse time on e.g. 5
+    if opts.grad_accum < 1:
+        raise SystemExit(f"--grad_accum must be >= 1, got "
+                         f"{opts.grad_accum}")
+    if mode == "train" and opts.batch_size % opts.grad_accum:
+        raise SystemExit(
+            f"--batch_size {opts.batch_size} must be divisible by "
+            f"--grad_accum {opts.grad_accum}")
     return opts

@@ -34,22 +34,84 @@ def _psnr_from_mse(mse: jnp.ndarray) -> jnp.ndarray:
     return -10.0 * jnp.log10(jnp.maximum(mse / 4.0, 1e-12))
 
 
+def _microbatches(x: jnp.ndarray, accum: int) -> jnp.ndarray:
+    """[B, ...] -> [accum, B/accum, ...] for ``lax.scan``.
+
+    Microbatch ``i`` takes every ``accum``-th sample (reshape to
+    [B/accum, accum, ...] then swap) rather than contiguous chunks: under
+    data-parallel meshes the batch axis is sharded in contiguous
+    per-device blocks, and the strided split keeps every microbatch's
+    elements on their home devices (each device contributes B/(A*D)
+    samples to every microbatch) — a contiguous split would concentrate
+    a microbatch on a subset of devices and force a reshard per scan
+    iteration."""
+    b = x.shape[0]
+    if b % accum:
+        raise ValueError(f"batch size {b} not divisible by "
+                         f"grad_accum={accum}")
+    return jnp.swapaxes(x.reshape(b // accum, accum, *x.shape[1:]), 0, 1)
+
+
+def _accumulate(grad_fn: Callable, params,
+                split_xs: Tuple[jnp.ndarray, ...], accum: int):
+    """Run ``grad_fn(params, *microbatch)`` over ``accum`` microbatches,
+    averaging grads and aux outputs (one grads-tree carry; activations
+    live only per microbatch — with ``--remat`` this bounds peak HBM at
+    roughly 1/accum of the full-batch step).
+
+    Every array in ``split_xs`` must already carry the [accum, ...]
+    leading axis (batches via :func:`_microbatches`, per-microbatch PRNG
+    keys via ``jax.random.split``)."""
+
+    def micro(carry, mb):
+        aux_acc, g_acc = carry
+        aux, g = grad_fn(params, *mb)
+        return (jax.tree_util.tree_map(jnp.add, aux_acc, aux),
+                jax.tree_util.tree_map(jnp.add, g_acc, g)), None
+
+    aux0, g0 = grad_fn(params, *(s[0] for s in split_xs))
+    (aux, grads), _ = jax.lax.scan(
+        micro, (aux0, g0), tuple(s[1:] for s in split_xs))
+    inv = 1.0 / accum
+    return (jax.tree_util.tree_map(lambda a: a * inv, aux),
+            jax.tree_util.tree_map(lambda g: g * inv, grads))
+
+
 def make_pretrain_step(opts: Opts) -> Callable[
         [GanTrainState, jnp.ndarray, jnp.ndarray],
         Tuple[GanTrainState, Metrics]]:
-    """Phase-1 L1 pretraining step (BASELINE.json:8, SURVEY.md §3.1)."""
+    """Phase-1 L1 pretraining step (BASELINE.json:8, SURVEY.md §3.1).
+
+    With ``--grad_accum A > 1`` the batch is split into A microbatches
+    whose grads are averaged before the single optimizer update —
+    numerically the full-batch step (pixel losses are per-sample means,
+    so mean-of-microbatch-means == batch mean), at ~1/A the activation
+    memory.  Pinned by tests/test_grad_accum.py."""
+    accum = max(1, int(getattr(opts, "grad_accum", 1)))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(g_state: GanTrainState, lr_img: jnp.ndarray,
              hr_img: jnp.ndarray) -> Tuple[GanTrainState, Metrics]:
-        def loss_fn(params):
-            sr = g_state.apply_fn({"params": params}, lr_img)
-            l1 = losses.l1_loss(sr, hr_img)
-            mse = losses.l2_loss(sr, hr_img)
+        def loss_fn(params, lr_mb, hr_mb):
+            sr = g_state.apply_fn({"params": params}, lr_mb)
+            l1 = losses.l1_loss(sr, hr_mb)
+            mse = losses.l2_loss(sr, hr_mb)
             return l1, mse
 
-        (l1, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            g_state.params)
+        if accum == 1:
+            (l1, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                g_state.params, lr_img, hr_img)
+        else:
+            vg = jax.value_and_grad(loss_fn, has_aux=True)
+
+            def grad_fn(params, lr_mb, hr_mb):
+                (l1_m, mse_m), g = vg(params, lr_mb, hr_mb)
+                return (l1_m, mse_m), g
+
+            (l1, mse), grads = _accumulate(
+                grad_fn, g_state.params,
+                (_microbatches(lr_img, accum),
+                 _microbatches(hr_img, accum)), accum)
         g_state = g_state.apply_gradients(grads=grads)
         return g_state, {"l1": l1, "psnr": _psnr_from_mse(mse)}
 
@@ -70,32 +132,56 @@ def make_gan_step(opts: Opts, d_apply: Callable, vgg_apply: Callable,
         opts.gan_type, opts.fl_gamma if opts.focal_loss else 0.0)
     use_vgg = opts.alpha_vgg > 0.0
     use_l1 = opts.alpha_l1 > 0.0
+    # With grad_accum > 1, each phase accumulates over microbatches
+    # before its single optimizer update (D on the full batch, then G
+    # against the UPDATED D — identical phase ordering to accum=1).
+    # GAN-phase accumulation is the standard per-microbatch semantics,
+    # NOT bitwise full-batch math: the discriminator's batch-statistics
+    # normalization computes mean/var per microbatch, and the
+    # relativistic-AVERAGE types (RaSGAN/RaLSGAN) compute E[C(.)] per
+    # microbatch — same behavior as torch accumulation with BN.  The
+    # divergence is bounded-small (tests/test_grad_accum.py) and the
+    # L1 pretrain phase remains exact.  Documented in docs/FLAGS.md.
+    accum = max(1, int(getattr(opts, "grad_accum", 1)))
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(g_state: GanTrainState, d_state: GanTrainState,
              vgg_params: Any, lr_img: jnp.ndarray, hr_img: jnp.ndarray,
              rng: jax.Array) -> Tuple[GanTrainState, GanTrainState, Metrics]:
         # --- Discriminator update (G frozen; SURVEY.md §3.2 "D step") ---
-        sr_detached = jax.lax.stop_gradient(
-            g_state.apply_fn({"params": g_state.params}, lr_img))
-
-        def d_loss_fn(d_params):
-            dr = d_apply(d_params, hr_img)
+        def d_loss_fn(d_params, lr_mb, hr_mb, rng_mb):
+            sr_detached = jax.lax.stop_gradient(
+                g_state.apply_fn({"params": g_state.params}, lr_mb))
+            dr = d_apply(d_params, hr_mb)
             df = d_apply(d_params, sr_detached)
             loss = fns["d"](dr, df)
             if opts.use_gp:
                 gp = losses.gradient_penalty(
-                    lambda x: d_apply(d_params, x), hr_img, sr_detached, rng)
+                    lambda x: d_apply(d_params, x), hr_mb, sr_detached,
+                    rng_mb)
                 loss = loss + 10.0 * gp
-            return loss
+            return loss, loss
 
-        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_state.params)
+        d_vg = jax.value_and_grad(d_loss_fn, has_aux=True)
+        if accum == 1:
+            (_, d_loss), d_grads = d_vg(d_state.params, lr_img, hr_img,
+                                        rng)
+        else:
+            rngs = jax.random.split(rng, accum)
+            def d_grad_fn(d_params, lr_mb, hr_mb, rng_mb):
+                (_, loss), g = d_vg(d_params, lr_mb, hr_mb, rng_mb)
+                return loss, g
+
+            d_loss, d_grads = _accumulate(
+                d_grad_fn, d_state.params,
+                (_microbatches(lr_img, accum),
+                 _microbatches(hr_img, accum), rngs), accum)
         d_state = d_state.apply_gradients(grads=d_grads)
 
         # --- Generator update (uses the just-updated D) ---
-        def g_loss_fn(g_params):
-            sr = g_state.apply_fn({"params": g_params}, lr_img)
-            dr = d_apply(d_state.params, hr_img)
+        def g_loss_fn(g_params, lr_mb, hr_mb):
+            sr = g_state.apply_fn({"params": g_params}, lr_mb)
+            dr = d_apply(d_state.params, hr_mb)
             df = d_apply(d_state.params, sr)
             gan_l = fns["g"](dr, df)
             tv_l = losses.tv_loss(sr)
@@ -103,22 +189,33 @@ def make_gan_step(opts: Opts, d_apply: Callable, vgg_apply: Callable,
             aux = {"g_gan": gan_l, "tv": tv_l}
             if use_vgg:
                 f_sr = vgg_apply(vgg_params, sr)
-                f_hr = jax.lax.stop_gradient(vgg_apply(vgg_params, hr_img))
+                f_hr = jax.lax.stop_gradient(vgg_apply(vgg_params, hr_mb))
                 vgg_l = losses.perceptual_loss(f_sr, f_hr)
                 total = total + opts.alpha_vgg * vgg_l
                 aux["vgg"] = vgg_l
             if use_l1:
-                l1 = losses.l1_loss(sr, hr_img)
+                l1 = losses.l1_loss(sr, hr_mb)
                 total = total + opts.alpha_l1 * l1
                 aux["l1"] = l1
-            aux["mse"] = losses.l2_loss(sr, hr_img)
+            aux["mse"] = losses.l2_loss(sr, hr_mb)
+            aux["g_loss"] = total
             return total, aux
 
-        (g_loss, aux), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(g_state.params)
+        g_vg = jax.value_and_grad(g_loss_fn, has_aux=True)
+        if accum == 1:
+            (_, aux), g_grads = g_vg(g_state.params, lr_img, hr_img)
+        else:
+            def g_grad_fn(g_params, lr_mb, hr_mb):
+                (_, aux_m), g = g_vg(g_params, lr_mb, hr_mb)
+                return aux_m, g
+
+            aux, g_grads = _accumulate(
+                g_grad_fn, g_state.params,
+                (_microbatches(lr_img, accum),
+                 _microbatches(hr_img, accum)), accum)
         g_state = g_state.apply_gradients(grads=g_grads)
 
-        metrics = {"d_loss": d_loss, "g_loss": g_loss,
+        metrics = {"d_loss": d_loss, "g_loss": aux.pop("g_loss"),
                    "psnr": _psnr_from_mse(aux.pop("mse")), **aux}
         return g_state, d_state, metrics
 
