@@ -242,7 +242,14 @@ def make_int8_apply(scale: int, res_scale: float = 0.1,
         up = q["upfold"]
         y = (_qconv(y, up, padding=(pads, pads)) if "w_q" in up
              else _conv_bf16(y, up, padding=(pads, pads)))
-        return pixel_shuffle(y, s).astype(jnp.float32)
+        # Return bf16 (no upcast): every consumer upcasts elementwise
+        # before quantizing (denormalize_to_uint8 / the float_out engine
+        # path start with astype(float32), and bf16->f32 is exact), so
+        # the uint8 output is bitwise identical and the apply's HR-res
+        # output buffer is half the bytes.  Measured throughput-neutral
+        # on-chip (XLA fuses the cast either way); kept for the smaller
+        # live buffer under tight HBM (big batches / spatial mode).
+        return pixel_shuffle(y, s)
 
     # The int8 path always uses the folded upsampler, so it inherits the
     # fold's border band: the tiling engines must pad+crop at least this
