@@ -184,7 +184,7 @@ def make_folded_apply(scale: int, res_scale: float = 0.1,
             (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return y + jnp.asarray(p["bias"]).astype(dtype)
 
-    def apply(variables: Any, x: jnp.ndarray) -> jnp.ndarray:
+    def _trunk(variables: Any, x: jnp.ndarray) -> jnp.ndarray:
         p = variables["params"]
         x = x.astype(dtype)
         head = _conv(x, p["head"], "SAME")
@@ -200,15 +200,29 @@ def make_folded_apply(scale: int, res_scale: float = 0.1,
         y, _ = jax.lax.scan(body_fn, head, (blk["conv1"], blk["conv2"]))
         y = _conv(y, p["tail"], "SAME") + head
 
-        y = _conv(y, p["upfold"], (pads, pads))
-        return pixel_shuffle(y, s).astype(jnp.float32)
+        return _conv(y, p["upfold"], (pads, pads))
+
+    def apply(variables: Any, x: jnp.ndarray) -> jnp.ndarray:
+        return pixel_shuffle(_trunk(variables, x), s).astype(jnp.float32)
+
+    def apply_u8(variables: Any, x: jnp.ndarray) -> jnp.ndarray:
+        # uint8 BEFORE the depth-to-space: denormalize_to_uint8 is
+        # per-element, so it commutes with the PS layout shuffle
+        # bitwise — and the shuffle is a strided HBM copy of the whole
+        # HR tensor (the single largest non-conv cost in the x8
+        # profile: ~13% of pass time at bf16), which now moves 1-byte
+        # pixels instead of 2/4-byte floats.  The tiling engines pick
+        # this variant for their uint8 paths (ops/tiling.py).
+        from pesr_tpu.data.augment import denormalize_to_uint8
+        return pixel_shuffle(denormalize_to_uint8(_trunk(variables, x)), s)
 
     # Correctness floor for the tiling engines (ops/tiling.py
     # required_min_halo): the fold is exact only R = num_stages+1 LR px
     # away from a zero-padded border, so every border — including outer
     # image borders covered by a single tile — must carry at least this
     # much replicate-padded context, cropped after the forward.
-    apply.min_halo = fold_min_halo(scale)
+    apply.min_halo = apply_u8.min_halo = fold_min_halo(scale)
+    apply.uint8_variant = apply_u8
     return apply
 
 

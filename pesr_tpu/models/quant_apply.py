@@ -215,8 +215,7 @@ def make_int8_apply(scale: int, res_scale: float = 0.1,
             "and pass it, or use int8_inference() which does both")
     s = scale
 
-    def apply(qvariables: Any, x: jnp.ndarray) -> jnp.ndarray:
-        from pesr_tpu.ops.pixel_shuffle import pixel_shuffle
+    def _trunk(qvariables: Any, x: jnp.ndarray) -> jnp.ndarray:
         q = qvariables["params"]
         head = _conv_bf16(x, q["head"])
 
@@ -240,21 +239,33 @@ def make_int8_apply(scale: int, res_scale: float = 0.1,
         y = _qconv(y, q["tail"]) + head
 
         up = q["upfold"]
-        y = (_qconv(y, up, padding=(pads, pads)) if "w_q" in up
-             else _conv_bf16(y, up, padding=(pads, pads)))
+        return (_qconv(y, up, padding=(pads, pads)) if "w_q" in up
+                else _conv_bf16(y, up, padding=(pads, pads)))
+
+    def apply(qvariables: Any, x: jnp.ndarray) -> jnp.ndarray:
         # Return bf16 (no upcast): every consumer upcasts elementwise
         # before quantizing (denormalize_to_uint8 / the float_out engine
         # path start with astype(float32), and bf16->f32 is exact), so
         # the uint8 output is bitwise identical and the apply's HR-res
-        # output buffer is half the bytes.  Measured throughput-neutral
-        # on-chip (XLA fuses the cast either way); kept for the smaller
-        # live buffer under tight HBM (big batches / spatial mode).
-        return pixel_shuffle(y, s)
+        # output buffer is half the bytes.
+        from pesr_tpu.ops.pixel_shuffle import pixel_shuffle
+        return pixel_shuffle(_trunk(qvariables, x), s)
+
+    def apply_u8(qvariables: Any, x: jnp.ndarray) -> jnp.ndarray:
+        # uint8 BEFORE the depth-to-space (see models/fold.py apply_u8:
+        # the per-element quantize commutes with the layout shuffle
+        # bitwise, and the shuffle then moves 1-byte pixels — it was
+        # ~13% of x8 pass time at float width).
+        from pesr_tpu.data.augment import denormalize_to_uint8
+        from pesr_tpu.ops.pixel_shuffle import pixel_shuffle
+        return pixel_shuffle(denormalize_to_uint8(_trunk(qvariables, x)),
+                             s)
 
     # The int8 path always uses the folded upsampler, so it inherits the
     # fold's border band: the tiling engines must pad+crop at least this
     # much on every border (see models/fold.py and ops/tiling.py).
-    apply.min_halo = fold_min_halo(scale)
+    apply.min_halo = apply_u8.min_halo = fold_min_halo(scale)
+    apply.uint8_variant = apply_u8
     return apply
 
 

@@ -104,19 +104,24 @@ class WholeImageUpscaler:
               else int(min_halo))
         self.min_halo = mh
 
-        def raw(variables, img_u8: jnp.ndarray) -> jnp.ndarray:
+        def raw(variables, img_u8: jnp.ndarray, fn=None) -> jnp.ndarray:
             x = normalize_uint8(img_u8)[None]
             if mh:
                 x = _pad_edge_device(x, (mh, mh, mh, mh))
-            sr = apply_fn(variables, x)[0]
+            sr = (fn or apply_fn)(variables, x)[0]
             if mh:
                 s = scale
                 sr = sr[mh * s:sr.shape[0] - mh * s,
                         mh * s:sr.shape[1] - mh * s]
             return sr
 
+        # uint8 path rides the apply's uint8_variant when present
+        # (quantize before the depth-to-space shuffle — bitwise
+        # identical, 1-byte HR traffic; see BatchTiledUpscaler._build).
+        u8_fn = getattr(apply_fn, "uint8_variant", None)
         self._forward = jax.jit(
-            lambda v, img: denormalize_to_uint8(raw(v, img)))
+            (lambda v, img: raw(v, img, u8_fn)) if u8_fn is not None
+            else (lambda v, img: denormalize_to_uint8(raw(v, img))))
         # Unquantized [0,255]-scale float output — the self-ensemble
         # averages these and rounds once.
         self._forward_f = jax.jit(
@@ -295,6 +300,15 @@ class BatchTiledUpscaler:
         nh, nw = math.ceil(h / th), math.ceil(w / tw)
         ov_h, ov_w = self._ov_for(nh), self._ov_for(nw)
         apply_fn = self._apply_fn
+        # uint8 paths prefer the apply's uint8_variant (folded/int8
+        # applies expose one): it quantizes per-element BEFORE the
+        # depth-to-space, so the PS layout shuffle — a strided HBM copy
+        # of the whole HR tensor — moves 1-byte pixels.  Bitwise
+        # identical (denormalize_to_uint8 commutes with the shuffle);
+        # float_out keeps the float apply for unquantized averaging.
+        u8_fn = getattr(apply_fn, "uint8_variant", None)
+        use_u8 = u8_fn is not None and not float_out
+        tile_fn = u8_fn if use_u8 else apply_fn
 
         if self.mesh is not None and self.mesh_axis == "tiles":
 
@@ -330,7 +344,7 @@ class BatchTiledUpscaler:
                 flat = jax.lax.with_sharding_constraint(
                     flat, NamedSharding(self.mesh,
                                         PartitionSpec(DATA_AXIS)))
-                sr = apply_fn(variables, flat)
+                sr = tile_fn(variables, flat)
                 core_f = sr[:, ov_h * s:(ov_h + th) * s,
                             ov_w * s:(ov_w + tw) * s, :]
                 core_f = core_f.reshape(t_total + pad, bsz,
@@ -338,7 +352,10 @@ class BatchTiledUpscaler:
                 core_f = core_f.reshape(nh, nw, bsz, th * s, tw * s, 3)
                 canvas_f = core_f.transpose(2, 0, 3, 1, 4, 5).reshape(
                     bsz, nh * th * s, nw * tw * s, 3)
-                canvas = ((canvas_f.astype(jnp.float32) + 1.0) * 127.5
+                # use_u8: cores are already uint8 — the canvas assembly
+                # AND the final all-gather move 1-byte pixels.
+                canvas = (canvas_f if use_u8
+                          else (canvas_f.astype(jnp.float32) + 1.0) * 127.5
                           if float_out
                           else denormalize_to_uint8(canvas_f))
                 # Explicit all-gather here (not at fetch) so downstream
@@ -374,12 +391,13 @@ class BatchTiledUpscaler:
                 tiles = jax.lax.dynamic_slice(
                     x, (0, i * th, j * tw, 0),
                     (bsz, th + 2 * ov_h, tw + 2 * ov_w, 3))
-                sr = apply_fn(variables, tiles)
+                sr = tile_fn(variables, tiles)
                 core_f = sr[:, ov_h * s:(ov_h + th) * s,
                             ov_w * s:(ov_w + tw) * s, :]
                 # float_out: unquantized [0,255]-scale cores — the
                 # self-ensemble averages branches and rounds ONCE.
-                core = ((core_f.astype(jnp.float32) + 1.0) * 127.5
+                core = (core_f if use_u8
+                        else (core_f.astype(jnp.float32) + 1.0) * 127.5
                         if float_out else denormalize_to_uint8(core_f))
                 return jax.lax.dynamic_update_slice(
                     canvas, core, (0, i * th * s, j * tw * s, 0))
@@ -610,16 +628,21 @@ class TiledUpscaler:
         # Variables are a jit ARGUMENT (not baked into the closure) so
         # swapping params — e.g. per-eval during training — reuses the
         # compiled program instead of retracing.
-        def cores(variables, tiles_u8: jnp.ndarray) -> jnp.ndarray:
+        def cores(variables, tiles_u8: jnp.ndarray, fn=None) -> jnp.ndarray:
             x = normalize_uint8(tiles_u8)
-            sr = apply_fn(variables, x)
+            sr = (fn or apply_fn)(variables, x)
             # Crop halo cores on device: less D2H traffic, static slice.
             lo = overlap * scale
             hi = lo + tile_size * scale
             return sr[:, lo:hi, lo:hi, :]
 
+        # uint8 path rides the apply's uint8_variant when present
+        # (quantize before the depth-to-space shuffle — bitwise
+        # identical, 1-byte HR traffic; see BatchTiledUpscaler._build).
+        u8_fn = getattr(apply_fn, "uint8_variant", None)
         self._jit_forward = jax.jit(
-            lambda v, t: denormalize_to_uint8(cores(v, t)))
+            (lambda v, t: cores(v, t, u8_fn)) if u8_fn is not None
+            else (lambda v, t: denormalize_to_uint8(cores(v, t))))
         # Unquantized [0,255]-scale float cores for the self-ensemble.
         self._jit_forward_f = jax.jit(
             lambda v, t: (cores(v, t).astype(jnp.float32) + 1.0) * 127.5)

@@ -189,3 +189,63 @@ def test_fold_params_roundtrip_shapes():
     y = apply_fn({"params": folded},
                  jnp.zeros((1, 12, 12, 3), jnp.float32))
     assert y.shape == (1, 24, 24, 3)
+
+
+def test_uint8_variant_bitwise_matches_denormalized_float_apply():
+    """apply.uint8_variant quantizes BEFORE the depth-to-space shuffle;
+    since denormalize_to_uint8 is per-element it must commute with the
+    shuffle BITWISE for both the folded-bf16 and int8 chains."""
+    from pesr_tpu.data.augment import denormalize_to_uint8, normalize_uint8
+    from pesr_tpu.models.quant_apply import (default_calib_tiles,
+                                             int8_inference)
+
+    scale = 2
+    gen = _gen(scale)
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (2, 20, 24, 3), dtype=np.uint8)
+    x = normalize_uint8(jnp.asarray(img))
+
+    for apply_fn, variables in (
+            folded_inference(params, scale, dtype=jnp.float32),
+            int8_inference(params, scale, default_calib_tiles([img[0]]))):
+        u8 = apply_fn.uint8_variant
+        assert u8.min_halo == apply_fn.min_halo
+        np.testing.assert_array_equal(
+            np.asarray(u8(variables, x)),
+            np.asarray(denormalize_to_uint8(apply_fn(variables, x))))
+
+
+def test_engines_with_and_without_uint8_variant_agree():
+    """The tiled engines must produce identical canvases whether they
+    ride the uint8_variant or the float apply + late denormalize."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler, WholeImageUpscaler
+
+    scale = 2
+    gen = _gen(scale)
+    params = gen.init(jax.random.key(1), jnp.zeros((1, 8, 8, 3)))["params"]
+    apply_fn, fvars = folded_inference(params, scale, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (2, 21, 33, 3), dtype=np.uint8)
+
+    with_variant = BatchTiledUpscaler(apply_fn, fvars, scale,
+                                      tile_size=16).upscale_batch(imgs)
+
+    import copy as _copy
+    import types
+
+    def stripped(fn):
+        bare = types.FunctionType(fn.__code__, fn.__globals__,
+                                  fn.__name__, fn.__defaults__,
+                                  fn.__closure__)
+        bare.min_halo = fn.min_halo  # keep the correctness floor
+        return bare
+
+    without = BatchTiledUpscaler(stripped(apply_fn), fvars, scale,
+                                 tile_size=16).upscale_batch(imgs)
+    np.testing.assert_array_equal(with_variant, without)
+
+    whole_v = WholeImageUpscaler(apply_fn, fvars, scale).upscale(imgs[0])
+    whole_p = WholeImageUpscaler(stripped(apply_fn), fvars,
+                                 scale).upscale(imgs[0])
+    np.testing.assert_array_equal(whole_v, whole_p)

@@ -99,3 +99,37 @@ def test_fuzz_folded_engine_shape_and_interior(seed, scale, h, w):
     if inner_t.size:
         assert np.max(np.abs(inner_t - inner_w)) <= 1
         assert np.mean(inner_t != inner_w) < 0.02
+
+
+@pytest.mark.parametrize("seed,scale,h,w,tile", [
+    (20, 2, 31, 45, 16), (21, 4, 26, 39, (16, 24)), (22, 3, 40, 22, 20),
+])
+def test_fuzz_int8_engine_interior(seed, scale, h, w, tile):
+    """The int8 W8A8 engine (headline path) at fuzzed shapes: uint8
+    canvas within quantization distance of the bf16-chain whole-image
+    forward on the interior.  int8 brings real quantization error, so
+    the tolerance is looser than the float sweeps — but structural bugs
+    (grid shifts, fold-band corruption) show up as O(100) diffs."""
+    from pesr_tpu.models.quant_apply import (default_calib_tiles,
+                                             int8_inference)
+
+    gen = Generator(scale=scale, num_blocks=2, num_channels=8,
+                    dtype=jnp.float32)
+    variables = gen.init(jax.random.key(seed), jnp.zeros((1, 8, 8, 3)))
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8)
+
+    apply_fn, qvars = int8_inference(variables["params"], scale,
+                                     default_calib_tiles([img[0]]))
+    tiler = BatchTiledUpscaler(apply_fn, qvars, scale, tile_size=tile,
+                               overlap=_OVERLAP)
+    tiled = tiler.upscale_batch(img)
+    assert tiled.shape == (1, h * scale, w * scale, 3)
+
+    whole = _whole(gen, variables, img[0])
+    m = _OVERLAP * scale
+    inner_t = tiled[0, m:-m, m:-m].astype(np.int16)
+    inner_w = whole[m:-m, m:-m].astype(np.int16)
+    if inner_t.size:
+        assert np.max(np.abs(inner_t - inner_w)) <= 12
+        assert np.mean(np.abs(inner_t - inner_w)) < 1.5
