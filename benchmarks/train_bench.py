@@ -26,7 +26,8 @@ per-step HR-megapixel count for roofline math.
 
 Env overrides: TB_STEPS (timed steps, default 30), TB_BLOCKS,
 TB_CHANNELS, TB_BATCH, TB_PATCH, TB_SCALE, TB_PHASES
-(comma list out of {pretrain,gan,qat}; default "pretrain,gan").
+(comma list out of {pretrain,gan,qat}; default "pretrain,gan"),
+TB_PROFILE (jax.profiler trace dir around the timed steps).
 """
 
 import dataclasses
@@ -101,6 +102,9 @@ def _bench_phase(opts, phase: str, steps: int) -> dict:
             d_state = d_state_out
     float(jnp.ravel(next(iter(metrics.values())))[0])  # sync
 
+    profile_dir = os.environ.get("TB_PROFILE", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     for i in range(steps):
         rng, key = jax.random.split(rng)
@@ -110,6 +114,9 @@ def _bench_phase(opts, phase: str, steps: int) -> dict:
             d_state = d_state_out
     float(jnp.ravel(next(iter(metrics.values())))[0])  # fence
     dt = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"[train_bench] trace -> {profile_dir}", file=sys.stderr)
 
     hr_mpx = opts.batch_size * opts.hr_patch_size ** 2 / 1e6
     return {

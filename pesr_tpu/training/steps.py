@@ -149,9 +149,7 @@ def make_gan_step(opts: Opts, d_apply: Callable, vgg_apply: Callable,
              vgg_params: Any, lr_img: jnp.ndarray, hr_img: jnp.ndarray,
              rng: jax.Array) -> Tuple[GanTrainState, GanTrainState, Metrics]:
         # --- Discriminator update (G frozen; SURVEY.md §3.2 "D step") ---
-        def d_loss_fn(d_params, lr_mb, hr_mb, rng_mb):
-            sr_detached = jax.lax.stop_gradient(
-                g_state.apply_fn({"params": g_state.params}, lr_mb))
+        def d_loss_fn(d_params, sr_detached, hr_mb, rng_mb):
             dr = d_apply(d_params, hr_mb)
             df = d_apply(d_params, sr_detached)
             loss = fns["d"](dr, df)
@@ -163,26 +161,21 @@ def make_gan_step(opts: Opts, d_apply: Callable, vgg_apply: Callable,
             return loss, loss
 
         d_vg = jax.value_and_grad(d_loss_fn, has_aux=True)
-        if accum == 1:
-            (_, d_loss), d_grads = d_vg(d_state.params, lr_img, hr_img,
-                                        rng)
-        else:
-            rngs = jax.random.split(rng, accum)
-            def d_grad_fn(d_params, lr_mb, hr_mb, rng_mb):
-                (_, loss), g = d_vg(d_params, lr_mb, hr_mb, rng_mb)
-                return loss, g
 
-            d_loss, d_grads = _accumulate(
-                d_grad_fn, d_state.params,
-                (_microbatches(lr_img, accum),
-                 _microbatches(hr_img, accum), rngs), accum)
-        d_state = d_state.apply_gradients(grads=d_grads)
-
-        # --- Generator update (uses the just-updated D) ---
-        def g_loss_fn(g_params, lr_mb, hr_mb):
-            sr = g_state.apply_fn({"params": g_params}, lr_mb)
-            dr = d_apply(d_state.params, hr_mb)
-            df = d_apply(d_state.params, sr)
+        # --- Generator loss as a function of sr (not g_params): every
+        # G-gradient path flows through sr, so the G grads are one VJP
+        # through a SINGLE generator forward — whose value, detached,
+        # also feeds the D update (G's params don't change between the
+        # phases).  The naive formulation runs the generator body twice
+        # (a detached forward for D, then the differentiated primal for
+        # G); XLA cannot CSE the two because the differentiable one
+        # also stacks residuals for the backward.  Measured on-chip:
+        # 7.5-7.8 -> 9.54 steps/s (+25%) at the flagship GAN recipe;
+        # grads are the same chain rule, pinned against the two-forward
+        # reference in tests/test_grad_accum.py.
+        def g_loss_from_sr(sr, d_params, hr_mb):
+            dr = d_apply(d_params, hr_mb)
+            df = d_apply(d_params, sr)
             gan_l = fns["g"](dr, df)
             tv_l = losses.tv_loss(sr)
             total = opts.alpha_gan * gan_l + opts.alpha_tv * tv_l
@@ -201,12 +194,45 @@ def make_gan_step(opts: Opts, d_apply: Callable, vgg_apply: Callable,
             aux["g_loss"] = total
             return total, aux
 
-        g_vg = jax.value_and_grad(g_loss_fn, has_aux=True)
+        sr_vg = jax.value_and_grad(g_loss_from_sr, has_aux=True)
+
         if accum == 1:
-            (_, aux), g_grads = g_vg(g_state.params, lr_img, hr_img)
+            sr, g_vjp = jax.vjp(
+                lambda p: g_state.apply_fn({"params": p}, lr_img),
+                g_state.params)
+            (_, d_loss), d_grads = d_vg(
+                d_state.params, jax.lax.stop_gradient(sr), hr_img, rng)
+            d_state = d_state.apply_gradients(grads=d_grads)
+
+            # G update against the JUST-UPDATED D.
+            (_, aux), d_sr = sr_vg(sr, d_state.params, hr_img)
+            (g_grads,) = g_vjp(d_sr)
         else:
+            # Accumulated phases recompute each microbatch's forward
+            # ON PURPOSE: holding every microbatch's VJP residuals
+            # across the D update would re-materialize the full-batch
+            # activations that grad_accum exists to avoid.
+            rngs = jax.random.split(rng, accum)
+
+            def d_grad_fn(d_params, lr_mb, hr_mb, rng_mb):
+                sr_detached = jax.lax.stop_gradient(
+                    g_state.apply_fn({"params": g_state.params}, lr_mb))
+                (_, loss), g = d_vg(d_params, sr_detached, hr_mb, rng_mb)
+                return loss, g
+
+            d_loss, d_grads = _accumulate(
+                d_grad_fn, d_state.params,
+                (_microbatches(lr_img, accum),
+                 _microbatches(hr_img, accum), rngs), accum)
+            d_state = d_state.apply_gradients(grads=d_grads)
+
             def g_grad_fn(g_params, lr_mb, hr_mb):
-                (_, aux_m), g = g_vg(g_params, lr_mb, hr_mb)
+                def g_loss_fn(p):
+                    sr = g_state.apply_fn({"params": p}, lr_mb)
+                    return g_loss_from_sr(sr, d_state.params, hr_mb)
+
+                (_, aux_m), g = jax.value_and_grad(
+                    g_loss_fn, has_aux=True)(g_params)
                 return aux_m, g
 
             aux, g_grads = _accumulate(

@@ -170,3 +170,63 @@ def test_microbatch_split_is_strided():
     np.testing.assert_array_equal(mb[3], [3, 7])
     with pytest.raises(ValueError):
         _microbatches(x, 3)
+
+
+@pytest.mark.slow
+def test_gan_step_single_forward_matches_two_forward_reference():
+    """The production GAN step computes ONE generator forward (jax.vjp)
+    whose value feeds the D update detached and whose residuals back
+    the G update.  The chain rule is identical to the naive two-forward
+    formulation; pin the whole step (both nets' updated params +
+    metrics) against a test-local naive implementation."""
+    from pesr_tpu import losses
+
+    opts = dataclasses.replace(TINY, gan_type="RaSGAN")
+    g_state, d_state, vgg_params, step = _gan_states(opts)
+    g_ref = create_generator_state(opts, build_generator(opts),
+                                   jax.random.key(0))
+    d_ref = create_discriminator_state(opts, build_discriminator(opts),
+                                       jax.random.key(1))
+    disc = build_discriminator(opts)
+    vgg = VGG19Features(layer="22", dtype=jnp.float32)
+    d_apply = lambda p, x: disc.apply({"params": p}, x)  # noqa: E731
+    vgg_apply = lambda p, x: vgg.apply({"params": p}, x)  # noqa: E731
+    fns = losses.gan_losses(opts.gan_type, 0.0)
+
+    def naive_step(g_state, d_state, lr_img, hr_img):
+        def d_loss_fn(d_params):
+            sr_d = jax.lax.stop_gradient(
+                g_state.apply_fn({"params": g_state.params}, lr_img))
+            return fns["d"](d_apply(d_params, hr_img),
+                            d_apply(d_params, sr_d))
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_state.params)
+        d_state = d_state.apply_gradients(grads=d_grads)
+
+        def g_loss_fn(g_params):
+            sr = g_state.apply_fn({"params": g_params}, lr_img)
+            gan_l = fns["g"](d_apply(d_state.params, hr_img),
+                             d_apply(d_state.params, sr))
+            tv_l = losses.tv_loss(sr)
+            vgg_l = losses.perceptual_loss(
+                vgg_apply(vgg_params, sr),
+                jax.lax.stop_gradient(vgg_apply(vgg_params, hr_img)))
+            return (opts.alpha_gan * gan_l + opts.alpha_tv * tv_l
+                    + opts.alpha_vgg * vgg_l)
+
+        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(g_state.params)
+        g_state = g_state.apply_gradients(grads=g_grads)
+        return g_state, d_state, d_loss, g_loss
+
+    lr, hr = _batch(opts)
+    g_new, d_new, metrics = step(g_state, d_state, vgg_params, lr, hr,
+                                 jax.random.key(7))
+    g_naive, d_naive, d_loss, g_loss = jax.jit(naive_step)(
+        g_ref, d_ref, lr, hr)
+
+    assert abs(float(metrics["d_loss"]) - float(d_loss)) < 1e-5
+    assert abs(float(metrics["g_loss"]) - float(g_loss)) < 1e-4
+    assert _tree_allclose(jax.device_get(g_new.params),
+                          jax.device_get(g_naive.params), atol=1e-5)
+    assert _tree_allclose(jax.device_get(d_new.params),
+                          jax.device_get(d_naive.params), atol=1e-5)
