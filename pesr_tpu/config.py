@@ -118,6 +118,10 @@ class Opts:
                                       # (grads averaged in-step; ~1/N
                                       # activation memory, composes with
                                       # remat; training/steps.py)
+    unroll_body: bool = False         # unroll the body scan in training
+                                      # (+5% pretrain steps/s for a ~1min
+                                      # one-time compile; identical
+                                      # params/grads)
     fold: bool = True                 # folded upsampler at inference
                                       # (exact through tiling; models/fold.py)
     quant: str = "none"               # none | int8 (PTQ inference path)
@@ -267,6 +271,9 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
                         "optimizer step (batch_size must divide; exact "
                         "for per-sample losses, per-microbatch E[C] for "
                         "relativistic-average GAN types)")
+    _add_bool_flag(g, "unroll_body", d.unroll_body,
+                   "unroll the residual-body scan in the train step "
+                   "(+5% measured at flagship; ~1min one-time compile)")
     _add_bool_flag(g, "fold", d.fold,
                    "fold the linear upsampler+out chain into one conv "
                    "at inference (tiled modes; exact on the interior)")

@@ -109,6 +109,14 @@ class Generator(nn.Module):
     # body is MXU-bound so the recompute overlaps well).  Identical
     # params tree and gradients (tests/test_models.py).
     remat: bool = False
+    # Unroll the body scan (``--unroll_body``): the scan keeps compile
+    # time flat but its per-iteration activation stacking
+    # (dynamic-update-slice into the saved-residuals buffer) and loop
+    # boundary cost real time in the TRAINING step; unrolling removes
+    # both.  Same params tree (weights stay stacked on the leading
+    # axis), identical outputs/grads; costs a long one-time compile at
+    # 32 blocks (persistent-cached).
+    unroll: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -127,6 +135,7 @@ class Generator(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.num_blocks,
+            unroll=self.num_blocks if self.unroll else 1,
         )(self.num_channels, self.res_scale, self.dtype, self.param_dtype,
           name="body")
         y, _ = body(head, None)

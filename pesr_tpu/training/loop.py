@@ -48,7 +48,8 @@ def build_generator(opts: Opts) -> Generator:
                      img_channels=opts.img_channels,
                      dtype=_dtype(opts.compute_dtype),
                      param_dtype=_dtype(opts.param_dtype),
-                     remat=opts.remat)
+                     remat=opts.remat,
+                     unroll=getattr(opts, "unroll_body", False))
 
 
 def build_discriminator(opts: Opts) -> Discriminator:

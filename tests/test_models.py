@@ -104,3 +104,31 @@ def test_vgg_feature_shapes(layer, expected_ch, expected_stride):
     feats = m.apply(params, x)
     s = 64 // expected_stride
     assert feats.shape == (1, s, s, expected_ch)
+
+
+def test_generator_unroll_same_params_outputs_and_grads():
+    """--unroll_body must be a pure compile-time/runtime trade:
+    identical params tree (weights stay stacked), identical outputs,
+    and (numerically) identical gradients vs the rolled scan."""
+    kw = dict(scale=2, num_blocks=3, num_channels=8, dtype=jnp.float32)
+    gen = Generator(**kw)
+    gen_u = Generator(**kw, unroll=True)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, 10, 10, 3)), jnp.float32)
+    v = gen.init(jax.random.key(0), x)
+    v_u = gen_u.init(jax.random.key(0), x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)), v, v_u)
+
+    np.testing.assert_allclose(np.asarray(gen_u.apply(v, x)),
+                               np.asarray(gen.apply(v, x)), atol=1e-6)
+
+    def loss(apply, p):
+        return jnp.mean(jnp.abs(apply({"params": p}, x)))
+
+    g = jax.grad(lambda p: loss(gen.apply, p))(v["params"])
+    g_u = jax.grad(lambda p: loss(gen_u.apply, p))(v["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5), g, g_u)
