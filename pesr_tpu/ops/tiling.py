@@ -65,6 +65,24 @@ def self_ensemble_upscale(tiler: "TiledUpscaler",
     return np.clip(np.floor(acc / 8.0 + 0.5), 0, 255).astype(np.uint8)
 
 
+def select_uint8_apply(apply_fn: Callable,
+                       float_out: bool = False
+                       ) -> Tuple[Callable, bool]:
+    """Pick the forward for an engine path: ``(tile_fn, use_u8)``.
+
+    Folded/int8 applies expose a ``uint8_variant`` that quantizes
+    per-element BEFORE the depth-to-space shuffle — bitwise identical
+    to denormalizing after (denormalize_to_uint8 commutes with the
+    layout shuffle) while the shuffle, a strided HBM copy of the whole
+    HR tensor, moves 1-byte pixels (profiled at ~13% of x8 pass time at
+    float width; +8.5% measured).  uint8 outputs ride it; float paths
+    (``float_out``, self-ensemble averaging) keep the float apply.
+    Single definition so every engine shares the same selection rule."""
+    u8_fn = getattr(apply_fn, "uint8_variant", None)
+    use_u8 = u8_fn is not None and not float_out
+    return (u8_fn if use_u8 else apply_fn), use_u8
+
+
 def required_min_halo(apply_fn: Callable) -> int:
     """Correctness floor for the border halo of an apply function.
 
@@ -115,12 +133,9 @@ class WholeImageUpscaler:
                         mh * s:sr.shape[1] - mh * s]
             return sr
 
-        # uint8 path rides the apply's uint8_variant when present
-        # (quantize before the depth-to-space shuffle — bitwise
-        # identical, 1-byte HR traffic; see BatchTiledUpscaler._build).
-        u8_fn = getattr(apply_fn, "uint8_variant", None)
+        u8_fn, use_u8 = select_uint8_apply(apply_fn)
         self._forward = jax.jit(
-            (lambda v, img: raw(v, img, u8_fn)) if u8_fn is not None
+            (lambda v, img: raw(v, img, u8_fn)) if use_u8
             else (lambda v, img: denormalize_to_uint8(raw(v, img))))
         # Unquantized [0,255]-scale float output — the self-ensemble
         # averages these and rounds once.
@@ -300,15 +315,7 @@ class BatchTiledUpscaler:
         nh, nw = math.ceil(h / th), math.ceil(w / tw)
         ov_h, ov_w = self._ov_for(nh), self._ov_for(nw)
         apply_fn = self._apply_fn
-        # uint8 paths prefer the apply's uint8_variant (folded/int8
-        # applies expose one): it quantizes per-element BEFORE the
-        # depth-to-space, so the PS layout shuffle — a strided HBM copy
-        # of the whole HR tensor — moves 1-byte pixels.  Bitwise
-        # identical (denormalize_to_uint8 commutes with the shuffle);
-        # float_out keeps the float apply for unquantized averaging.
-        u8_fn = getattr(apply_fn, "uint8_variant", None)
-        use_u8 = u8_fn is not None and not float_out
-        tile_fn = u8_fn if use_u8 else apply_fn
+        tile_fn, use_u8 = select_uint8_apply(apply_fn, float_out)
 
         if self.mesh is not None and self.mesh_axis == "tiles":
 
@@ -636,12 +643,9 @@ class TiledUpscaler:
             hi = lo + tile_size * scale
             return sr[:, lo:hi, lo:hi, :]
 
-        # uint8 path rides the apply's uint8_variant when present
-        # (quantize before the depth-to-space shuffle — bitwise
-        # identical, 1-byte HR traffic; see BatchTiledUpscaler._build).
-        u8_fn = getattr(apply_fn, "uint8_variant", None)
+        u8_fn, use_u8 = select_uint8_apply(apply_fn)
         self._jit_forward = jax.jit(
-            (lambda v, t: cores(v, t, u8_fn)) if u8_fn is not None
+            (lambda v, t: cores(v, t, u8_fn)) if use_u8
             else (lambda v, t: denormalize_to_uint8(cores(v, t))))
         # Unquantized [0,255]-scale float cores for the self-ensemble.
         self._jit_forward_f = jax.jit(

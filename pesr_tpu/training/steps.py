@@ -61,7 +61,13 @@ def _accumulate(grad_fn: Callable, params,
 
     Every array in ``split_xs`` must already carry the [accum, ...]
     leading axis (batches via :func:`_microbatches`, per-microbatch PRNG
-    keys via ``jax.random.split``)."""
+    keys via ``jax.random.split``).
+
+    All ``accum`` microbatches go through ONE scan over one traced copy
+    of ``grad_fn`` — zero-initialized carries come from ``eval_shape``,
+    which costs no compute.  (Peeling the first microbatch out of the
+    scan would embed a second full fwd+bwd HLO copy in every step,
+    doubling compile time — review finding.)"""
 
     def micro(carry, mb):
         aux_acc, g_acc = carry
@@ -69,9 +75,10 @@ def _accumulate(grad_fn: Callable, params,
         return (jax.tree_util.tree_map(jnp.add, aux_acc, aux),
                 jax.tree_util.tree_map(jnp.add, g_acc, g)), None
 
-    aux0, g0 = grad_fn(params, *(s[0] for s in split_xs))
-    (aux, grads), _ = jax.lax.scan(
-        micro, (aux0, g0), tuple(s[1:] for s in split_xs))
+    init = jax.tree_util.tree_map(
+        lambda t: jnp.zeros(t.shape, t.dtype),
+        jax.eval_shape(grad_fn, params, *(s[0] for s in split_xs)))
+    (aux, grads), _ = jax.lax.scan(micro, init, split_xs)
     inv = 1.0 / accum
     return (jax.tree_util.tree_map(lambda a: a * inv, aux),
             jax.tree_util.tree_map(lambda g: g * inv, grads))

@@ -231,7 +231,6 @@ def test_engines_with_and_without_uint8_variant_agree():
     with_variant = BatchTiledUpscaler(apply_fn, fvars, scale,
                                       tile_size=16).upscale_batch(imgs)
 
-    import copy as _copy
     import types
 
     def stripped(fn):
