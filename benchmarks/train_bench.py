@@ -27,7 +27,9 @@ per-step HR-megapixel count for roofline math.
 Env overrides: TB_STEPS (timed steps, default 30), TB_BLOCKS,
 TB_CHANNELS, TB_BATCH, TB_PATCH, TB_SCALE, TB_PHASES
 (comma list out of {pretrain,gan,qat}; default "pretrain,gan"),
-TB_PROFILE (jax.profiler trace dir around the timed steps).
+TB_PROFILE (jax.profiler trace dir around the timed steps),
+TB_ACCUM / TB_UNROLL=1 / TB_REMAT=1 (--grad_accum / --unroll_body /
+--remat for memory-vs-speed studies).
 """
 
 import dataclasses
@@ -147,6 +149,9 @@ def main() -> int:
         batch_size=int(os.environ.get("TB_BATCH", "16")),
         patch_size=int(os.environ.get("TB_PATCH", "48")),
         scale=int(os.environ.get("TB_SCALE", "4")),
+        grad_accum=int(os.environ.get("TB_ACCUM", "1")),
+        unroll_body=os.environ.get("TB_UNROLL", "0") == "1",
+        remat=os.environ.get("TB_REMAT", "0") == "1",
         compute_dtype="bfloat16",
         # Random-init VGG anchors throughput only (see module docstring);
         # production weight guidance lives in training/loop.py.
