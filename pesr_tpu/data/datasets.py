@@ -452,10 +452,25 @@ def load_eval_set(opts, dataset: Optional[str] = None,
     root = os.path.join(opts.data_root, name)
     hr_dir = os.path.join(root, "HR")
     lr_dir = os.path.join(root, "LR_bicubic", f"X{opts.scale}")
+    lr_only = os.path.join(root, "LR")
     if os.path.isdir(hr_dir):
         folder = PairedImageFolder(
             hr_dir, lr_dir if os.path.isdir(lr_dir) else None, opts.scale,
             cache=False)
+    elif os.path.isdir(lr_only) or os.path.isdir(lr_dir):
+        # LR-ONLY layout: ``<name>/LR`` (or ``LR_bicubic/X<s>`` with no
+        # HR sibling).  The PIRM-SR TEST set ships exactly this —
+        # inputs with no ground truth (SURVEY.md §3.3/§3.5): the given
+        # images ARE the model input (never downsampled), PNGs go out
+        # for the offline PI eval, and every HR-dependent metric is
+        # skipped by the consumers (EvalSample.hr=None — test.py and
+        # the training self-val both guard it).
+        src = lr_only if os.path.isdir(lr_only) else lr_dir
+        folder = PairedImageFolder(src, None, opts.scale, cache=False)
+        n = len(folder) if max_images is None else min(len(folder),
+                                                       max_images)
+        return [EvalSample(folder.name(i), folder.get_hr(i), None)
+                for i in range(n)]
     elif os.path.isdir(root):
         folder = PairedImageFolder(root, None, opts.scale, cache=False)
     else:

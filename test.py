@@ -211,8 +211,13 @@ def main(argv=None) -> int:
             print(f"{s.name}: PSNR {psnr:.2f} dB  SSIM {ssim:.4f}  "
                   f"(bicubic {bpsnr:.2f} dB)")
 
-    print(f"[{opts.test_dataset} x{opts.scale}] mean PSNR {psnr_m.avg:.2f} "
-          f"dB  mean SSIM {ssim_m.avg:.4f}  bicubic {bicubic_m.avg:.2f} dB"
+    # LR-only sets (e.g. the PIRM test inputs, data/<name>/LR) have no
+    # ground truth: quality comes from the offline PI eval over the
+    # exported PNGs (pesr_tpu.metrics.pirm), so only throughput prints.
+    quality = (f"mean PSNR {psnr_m.avg:.2f} dB  mean SSIM "
+               f"{ssim_m.avg:.4f}  bicubic {bicubic_m.avg:.2f} dB"
+               if psnr_m.count else "no ground truth (LR-only set)")
+    print(f"[{opts.test_dataset} x{opts.scale}] {quality}"
           f"  ({total_mp / elapsed:.1f} MP/s over {len(samples)} images, "
           f"post-warmup, incl. host transfers)")
     print(f"SR images written to {out_dir}/")

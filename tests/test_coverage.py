@@ -91,6 +91,16 @@ def test_eval_set_folder_layouts(tmp_path):
     s2 = load_eval_set(opts2)[0]
     assert s2.lr.shape == (8, 8, 3)  # synthesized
 
+    # LR-only layout (the PIRM test-set shape: inputs, no ground
+    # truth): the given images ARE the model input — never
+    # downsampled — and hr is None so consumers skip PSNR/SSIM.
+    imwrite_uint8(str(tmp_path / "PIRMTest" / "LR" / "img1.png"), lr)
+    opts3 = Opts(test_dataset="PIRMTest", data_root=str(tmp_path),
+                 scale=4)
+    s3 = load_eval_set(opts3)[0]
+    np.testing.assert_array_equal(s3.lr, lr)
+    assert s3.hr is None
+
 
 def test_patch_iterator_with_lr_files(tmp_path):
     """LR-file training mode: aligned crops come from both dirs."""
