@@ -74,9 +74,57 @@ def install_deterministic_batches():
     datasets.make_train_iterator = fake_iterator
 
 
+def run_spatial_inference() -> dict:
+    """Multi-host SPATIAL-parallel serving (mesh_axis="tiles"): every
+    process helps upscale the SAME image — each image's tile grid
+    shards over the 8-device global mesh that spans both processes, so
+    the conv work splits across hosts and the stitched canvas comes
+    back through one cross-host all-gather.  Returns hashes: the
+    spatial canvas must be BITWISE the locally-computed single-device
+    TILED engine at the same geometry (the invariant the
+    single-process spatial tests pin — tiled engines replicate-pad true
+    image borders, so the zero-pad whole-image forward legitimately
+    differs there), now with the all-gather riding a real DCN
+    boundary."""
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pesr_tpu.models import Generator
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    from pesr_tpu.parallel import make_mesh
+
+    scale = 2
+    gen = Generator(scale=scale, num_blocks=2, num_channels=8,
+                    dtype=jnp.float32)
+    # Same seed on every process -> identical replicated params.
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (1, 24, 40, 3), dtype=np.uint8)
+
+    mesh = make_mesh(8)  # global: 4 local devices x 2 processes
+    sp = BatchTiledUpscaler(gen.apply, variables, scale, tile_size=8,
+                            overlap=8, mesh=mesh, mesh_axis="tiles")
+    canvas = np.asarray(sp.upscale_batch(img))
+
+    # Local single-device reference: the same tiled engine, no mesh.
+    ref = BatchTiledUpscaler(gen.apply, variables, scale, tile_size=8,
+                             overlap=8).upscale_batch(img)
+    h, w = img.shape[1:3]
+    assert canvas.shape == (1, h * scale, w * scale, 3)
+    return {
+        "canvas_sha": hashlib.sha256(canvas.tobytes()).hexdigest(),
+        "ref_sha": hashlib.sha256(np.asarray(ref).tobytes()).hexdigest(),
+        "bitwise_equal_local_ref": bool((canvas == np.asarray(ref)).all()),
+    }
+
+
 def main() -> int:
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, out_path, ckpt_dir = sys.argv[3], sys.argv[4], sys.argv[5]
+    mode = sys.argv[6] if len(sys.argv) > 6 else "train"
 
     from pesr_tpu.parallel import force_cpu_devices
     force_cpu_devices(8 // nproc)
@@ -91,9 +139,12 @@ def main() -> int:
     assert jax.process_count() == nproc, jax.process_count()
     assert jax.device_count() == 8, jax.device_count()
 
-    install_deterministic_batches()
-    from pesr_tpu.training.loop import run_training
-    summary = run_training(tiny_opts(ckpt_dir))
+    if mode == "spatial":
+        summary = run_spatial_inference()
+    else:
+        install_deterministic_batches()
+        from pesr_tpu.training.loop import run_training
+        summary = run_training(tiny_opts(ckpt_dir))
 
     with open(out_path, "w") as f:
         json.dump({"process": pid, "n": nproc, "summary": summary}, f)

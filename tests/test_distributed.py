@@ -36,22 +36,23 @@ def _worker_env() -> dict:
     return env
 
 
-def _launch(pid: int, nproc: int, port: int, out: str, ckpt: str):
+def _launch(pid: int, nproc: int, port: int, out: str, ckpt: str,
+            mode: str = "train"):
     return subprocess.Popen(
         [sys.executable, _WORKER, str(pid), str(nproc), str(port), out,
-         ckpt],
+         ckpt, mode],
         env=_worker_env(), stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True)
 
 
-def _run_group(nproc: int, tmp_path, tag: str):
+def _run_group(nproc: int, tmp_path, tag: str, mode: str = "train"):
     port = _free_port()
     ckpt = os.path.join(tmp_path, f"ckpt_{tag}")
     procs, outs = [], []
     for pid in range(nproc):
         out = os.path.join(tmp_path, f"out_{tag}_{pid}.json")
         outs.append(out)
-        procs.append(_launch(pid, nproc, port, out, ckpt))
+        procs.append(_launch(pid, nproc, port, out, ckpt, mode))
     logs = []
     for p in procs:
         try:
@@ -124,6 +125,26 @@ def test_two_process_gan_run_matches_single_process(tmp_path):
     # Process-0-only JSONL already proven parseable above (two writers
     # appending concurrently would interleave/corrupt).
     assert [r["step"] for r in recs2] == [1, 2, 3]
+
+
+@pytest.mark.slow
+def test_two_process_spatial_parallel_serving_is_bitwise(tmp_path):
+    """Multi-host spatial-parallel serving (mesh_axis='tiles') across a
+    real 2-process runtime: each image's tile grid shards over the
+    8-device global mesh spanning both processes, and the stitched
+    canvas (returned through a cross-host all-gather) must be BITWISE
+    the single-device whole-image forward on BOTH hosts — the same
+    invariant the single-process spatial tests pin, now with DCN in the
+    loop."""
+    _, results, _ = _run_group(2, tmp_path, "sp", mode="spatial")
+    assert len(results) == 2
+    for r in results:
+        assert r["summary"]["bitwise_equal_local_ref"], r
+    # Both hosts fetched the same replicated canvas.
+    assert (results[0]["summary"]["canvas_sha"]
+            == results[1]["summary"]["canvas_sha"])
+    assert (results[0]["summary"]["ref_sha"]
+            == results[1]["summary"]["ref_sha"])
 
 
 def _read_jsonl(path):
