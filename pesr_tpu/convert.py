@@ -46,22 +46,31 @@ def _as_numpy(t: Any) -> np.ndarray:
     return np.asarray(t, dtype=np.float32)
 
 
-def extract_conv_pairs(state_dict: Dict[str, Any]
-                       ) -> List[Tuple[str, np.ndarray, np.ndarray]]:
-    """Yield (name, OIHW weight, bias) for every 4-D conv entry, in
-    registration order.  Dense (2-D) weights are skipped here."""
+def _extract_pairs(state_dict: Dict[str, Any], ndim: int, what: str
+                   ) -> List[Tuple[str, np.ndarray, np.ndarray]]:
+    """(name, weight, bias) for every ``ndim``-D weight entry, in
+    registration order — the single definition of the torch
+    weight->sibling-bias matching rule (conv/norm/dense extractors all
+    route here, so a convention fix lands once; review finding)."""
     pairs = []
     for key, val in state_dict.items():
         if not key.endswith("weight"):
             continue
         w = _as_numpy(val)
-        if w.ndim != 4:
+        if w.ndim != ndim:
             continue
         bkey = key[: -len("weight")] + "bias"
         if bkey not in state_dict:
-            raise ValueError(f"conv {key} has no matching bias {bkey}")
+            raise ValueError(f"{what} {key} has no matching bias {bkey}")
         pairs.append((key, w, _as_numpy(state_dict[bkey])))
     return pairs
+
+
+def extract_conv_pairs(state_dict: Dict[str, Any]
+                       ) -> List[Tuple[str, np.ndarray, np.ndarray]]:
+    """(name, OIHW weight, bias) for every 4-D conv entry, in
+    registration order.  Dense (2-D) weights are skipped here."""
+    return _extract_pairs(state_dict, 4, "conv")
 
 
 def _oihw_to_hwio(w: np.ndarray) -> np.ndarray:
@@ -155,35 +164,13 @@ def _extract_1d_scale_bias(state_dict: Dict[str, Any]
     intentionally dropped: the TPU discriminator normalizes with batch
     statistics only (models/discriminator.py BatchStatNorm) and the
     reference never runs D in eval mode, so running stats are dead."""
-    out = []
-    for key, val in state_dict.items():
-        if not key.endswith("weight"):
-            continue
-        w = _as_numpy(val)
-        if w.ndim != 1:
-            continue
-        bkey = key[: -len("weight")] + "bias"
-        if bkey not in state_dict:
-            raise ValueError(f"norm {key} has no matching bias {bkey}")
-        out.append((key, w, _as_numpy(state_dict[bkey])))
-    return out
+    return _extract_pairs(state_dict, 1, "norm")
 
 
 def _extract_dense_pairs(state_dict: Dict[str, Any]
                          ) -> List[Tuple[str, np.ndarray, np.ndarray]]:
     """(name, [out,in] weight, bias) for 2-D weight entries in order."""
-    out = []
-    for key, val in state_dict.items():
-        if not key.endswith("weight"):
-            continue
-        w = _as_numpy(val)
-        if w.ndim != 2:
-            continue
-        bkey = key[: -len("weight")] + "bias"
-        if bkey not in state_dict:
-            raise ValueError(f"dense {key} has no matching bias {bkey}")
-        out.append((key, w, _as_numpy(state_dict[bkey])))
-    return out
+    return _extract_pairs(state_dict, 2, "dense")
 
 
 def convert_torch_discriminator(

@@ -278,8 +278,17 @@ class Prefetcher:
     def __next__(self):
         if self._stop.is_set():
             raise RuntimeError("Prefetcher is closed")
+        if getattr(self, "_done", False):
+            # The sentinel was already consumed; the queue stays empty
+            # forever, so a second next() must re-raise instead of
+            # blocking on get() for good (review finding — standard
+            # iterators raise StopIteration repeatedly).
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
         item = self._q.get()
         if item is self._SENTINEL:
+            self._done = True
             if self._error is not None:
                 raise self._error
             raise StopIteration
@@ -389,22 +398,33 @@ def make_train_iterator(opts, start_step: int = 0) -> Tuple[Iterator, bool]:
         try:
             from pesr_tpu.data import native
             if native.available():
-                # Accumulate against the RAM budget PER IMAGE and bail
-                # early — decoding the whole corpus before checking
-                # would OOM on exactly the corpora the guard exists to
-                # reject (round-2 review); on reject, drop whatever the
-                # source cached during the probe.
+                # Accumulate against the RAM budget and bail early —
+                # decoding the whole corpus before checking would OOM
+                # on exactly the corpora the guard exists to reject
+                # (round-2 review); on reject, drop whatever the source
+                # cached during the probe.  Decode in small PARALLEL
+                # chunks: this probe serially decoding an 800-image
+                # DIV2K corpus on one thread stalled startup for
+                # minutes (review finding) while the decoders (libpng
+                # via the native core, PIL) release the GIL.  The
+                # budget check runs between chunks, so overshoot is
+                # bounded by one chunk.
+                from concurrent.futures import ThreadPoolExecutor
+                getter = (src.get_hr if hasattr(src, "get_hr")
+                          else src.get)
                 images, total = [], 0
-                for i in range(len(src)):
-                    im = (src.get_hr(i) if hasattr(src, "get_hr")
-                          else src.get(i))
-                    total += im.nbytes
-                    if total > _NATIVE_CACHE_BYTES:
-                        images = None
-                        if hasattr(src, "_cache"):
-                            src._cache.clear()
-                        break
-                    images.append(im)
+                chunk = 8
+                with ThreadPoolExecutor(max_workers=4) as pool:
+                    for i0 in range(0, len(src), chunk):
+                        ims = list(pool.map(
+                            getter, range(i0, min(i0 + chunk, len(src)))))
+                        images.extend(ims)
+                        total += sum(im.nbytes for im in ims)
+                        if total > _NATIVE_CACHE_BYTES:
+                            images = None
+                            if hasattr(src, "_cache"):
+                                src._cache.clear()
+                            break
                 if images is not None:
                     sampler = native.NativePatchSampler(
                         images, opts.hr_patch_size, batch_local,

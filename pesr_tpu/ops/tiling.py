@@ -218,6 +218,14 @@ class BatchTiledUpscaler:
                              f"got {mesh_axis!r}")
         if mesh_axis == "tiles" and mesh is None:
             raise ValueError("mesh_axis='tiles' requires a mesh")
+        if tile_size != "auto":
+            th, tw = (tile_size if isinstance(tile_size, tuple)
+                      else (tile_size, tile_size))
+            if th <= 0 or tw <= 0:
+                raise ValueError(f"tile_size must be > 0 (or 'auto'), "
+                                 f"got {tile_size!r}")
+        if overlap < 0:
+            raise ValueError(f"overlap must be >= 0, got {overlap}")
         self.scale, self.tile, self.ov = scale, tile_size, overlap
         self.min_halo = (required_min_halo(apply_fn) if min_halo is None
                          else int(min_halo))
@@ -519,7 +527,12 @@ class BatchTiledUpscaler:
         most two programs (full batch + padded tail), so only those run.
         ``se``: warm the self-ensemble path (two float programs per
         shape) instead of the plain uint8 one."""
-        mult = self.mesh.size if self.mesh is not None else 1
+        # Batch padding exists so the BATCH axis shards under DP;
+        # spatial mode ('tiles') shards the TILE axis instead and
+        # accepts any batch size — padding there multiplied the
+        # work by up to mesh.size per ragged chunk (review finding).
+        mult = (self.mesh.size if self.mesh is not None
+                and self.mesh_axis == "batch" else 1)
         seen = set()
         for shape, chunk in self._chunks(imgs, batch_size):
             n = len(chunk) + ((-len(chunk)) % mult)
@@ -537,8 +550,10 @@ class BatchTiledUpscaler:
                      se: bool = False) -> list:
         """Upscale a list of HWC uint8 images of possibly mixed sizes,
         device-resident per same-shape batch; order is preserved.
-        With a mesh, partial chunks pad to a multiple of the mesh size
-        (repeating the last image) so the batch axis always shards.
+        Under a batch-DP mesh, partial chunks pad to a multiple of the
+        mesh size (repeating the last image) so the batch axis always
+        shards; spatial mode needs no batch padding (the tile axis is
+        what shards, and run_sp pads it itself).
         ``se``: x8 dihedral self-ensemble per batch, still device-
         resident (see :meth:`upscale_batch_se_device`).
 
@@ -547,7 +562,12 @@ class BatchTiledUpscaler:
         fetch is the bottleneck on thin host links and otherwise
         serializes the whole loop."""
         results: list = [None] * len(imgs)
-        mult = self.mesh.size if self.mesh is not None else 1
+        # Batch padding exists so the BATCH axis shards under DP;
+        # spatial mode ('tiles') shards the TILE axis instead and
+        # accepts any batch size — padding there multiplied the
+        # work by up to mesh.size per ragged chunk (review finding).
+        mult = (self.mesh.size if self.mesh is not None
+                and self.mesh_axis == "batch" else 1)
         inflight: list = []  # [(device canvas, chunk, (h, w))]
 
         def drain(entry):
@@ -574,34 +594,36 @@ class BatchTiledUpscaler:
         return results
 
 
-def _pad_edge_device(x: jnp.ndarray, pads: Tuple[int, int, int, int]
-                     ) -> jnp.ndarray:
-    """jnp edge-pad of [B,H,W,C] (top, bottom, left, right), capped
-    stepwise so pads larger than the extent are safe (jnp.pad edge mode
-    requires pad <= dim)."""
+def _edge_pad_capped(x, pads: Tuple[int, int, int, int], xp,
+                     h_axis: int, w_axis: int):
+    """Edge-replicate pad (top, bottom, left, right) applied in capped
+    steps, so pads larger than the current extent are safe (numpy and
+    jnp edge mode both require pad <= dim).  ONE implementation of the
+    stepping loop — the host (numpy HWC) and device (jnp BHWC) pad
+    paths must produce identical border context (review finding)."""
     top, bottom, left, right = pads
     while top or bottom or left or right:
-        h, w = x.shape[1:3]
+        h, w = x.shape[h_axis], x.shape[w_axis]
         t, b = min(top, h), min(bottom, h)
         l, r = min(left, w), min(right, w)
-        x = jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="edge")
+        width = [(0, 0)] * x.ndim
+        width[h_axis] = (t, b)
+        width[w_axis] = (l, r)
+        x = xp.pad(x, width, mode="edge")
         top, bottom, left, right = top - t, bottom - b, left - l, right - r
     return x
 
 
+def _pad_edge_device(x: jnp.ndarray, pads: Tuple[int, int, int, int]
+                     ) -> jnp.ndarray:
+    """jnp edge-pad of [B,H,W,C] (top, bottom, left, right)."""
+    return _edge_pad_capped(x, pads, jnp, 1, 2)
+
+
 def _pad_replicate(img: np.ndarray, pads: Tuple[int, int, int, int]
                    ) -> np.ndarray:
-    """Edge-replicate pad (top, bottom, left, right) — safe for pads
-    larger than the image (applied in capped steps)."""
-    top, bottom, left, right = pads
-    out = img
-    while top or bottom or left or right:
-        h, w = out.shape[:2]
-        t, b = min(top, h), min(bottom, h)
-        l, r = min(left, w), min(right, w)
-        out = np.pad(out, ((t, b), (l, r), (0, 0)), mode="edge")
-        top, bottom, left, right = top - t, bottom - b, left - l, right - r
-    return out
+    """numpy edge-pad of [H,W,C] (top, bottom, left, right)."""
+    return _edge_pad_capped(img, pads, np, 0, 1)
 
 
 class TiledUpscaler:

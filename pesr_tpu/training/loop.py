@@ -58,6 +58,12 @@ def build_discriminator(opts: Opts) -> Discriminator:
                          param_dtype=_dtype(opts.param_dtype))
 
 
+class EvalSkip(ValueError):
+    """Validation is legitimately impossible (no ground truth AND no
+    computable PI) — the training loop skips the eval; any OTHER error
+    out of evaluate() is a real bug and must propagate."""
+
+
 def evaluate(opts: Opts, g_apply, g_params,
              max_images: Optional[int] = None,
              tiler: Optional[TiledUpscaler] = None,
@@ -86,12 +92,22 @@ def evaluate(opts: Opts, g_apply, g_params,
         tiler.update_variables({"params": g_params})
     psnr_m, ssim_m, pi_m = AverageMeter(), AverageMeter(), AverageMeter()
     srs = tiler.upscale_many([s.lr for s in samples])
+    pi_err: Optional[str] = None
     for s, sr in zip(samples, srs):
         if s.hr is not None:
             psnr_m.update(calc_psnr(sr, s.hr, crop_border=opts.scale))
             ssim_m.update(calc_ssim(sr, s.hr, crop_border=opts.scale))
         if compute_pi:
-            pi_m.update(perceptual_index(sr))
+            try:
+                pi_m.update(perceptual_index(sr))
+            except ValueError as e:
+                # Per-image PI failure (e.g. an SR output smaller than
+                # the 96px NIQE block) must not abort the eval and take
+                # the already-computed PSNR/SSIM down with it — skip
+                # that image's PI and warn once (review finding).
+                if pi_err is None:
+                    pi_err = str(e)
+                    print(f"[val] PI skipped for small image(s): {e}")
     out: Dict[str, float] = {}
     if psnr_m.count:
         out["val_psnr"] = psnr_m.avg
@@ -101,9 +117,11 @@ def evaluate(opts: Opts, g_apply, g_params,
     if not out:
         # Guard (round-1 verdict weak #8): a ground-truth-less set must
         # not silently report val_psnr=0 and clobber best-ckpt logic.
-        raise ValueError(
+        raise EvalSkip(
             f"validation set {opts.valid_dataset!r} has no ground-truth "
-            "HR images and PI was disabled — nothing to evaluate")
+            "HR images and PI was "
+            + ("disabled" if not compute_pi else
+               f"not computable ({pi_err})") + " — nothing to evaluate")
     return out
 
 
@@ -412,9 +430,12 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                         print(f"[ckpt] new best val_psnr="
                               f"{val_psnr:.2f} -> {path}")
                         summary["best_psnr"] = val_psnr
-                except ValueError as e:
-                    # Ground-truth-less set + PI disabled: identical
-                    # data on every host -> every host raises alike.
+                except EvalSkip as e:
+                    # Ground-truth-less set + no computable PI:
+                    # identical data on every host -> every host raises
+                    # alike.  (Narrowed from ValueError — a real metric
+                    # bug must crash, not soft-skip validation forever;
+                    # review finding.)
                     print(f"[val] skipped: {e}")
 
         if (epoch + 1) % opts.snapshot_every == 0 \

@@ -189,3 +189,34 @@ def test_prefetcher_close_joins_blocked_worker():
     assert not pf._thread.is_alive()
     with pytest.raises(RuntimeError, match="closed"):
         next(pf)
+
+
+def test_prefetcher_raises_stopiteration_repeatedly():
+    """Review regression: a second next() after exhaustion must re-raise
+    StopIteration (standard iterator contract), not block forever on
+    the empty queue."""
+    from pesr_tpu.data.datasets import Prefetcher
+    p = Prefetcher(iter([1, 2]))
+    assert list(p) == [1, 2]
+    import pytest as _pytest
+    with _pytest.raises(StopIteration):
+        next(p)
+    with _pytest.raises(StopIteration):
+        next(p)
+    p.close()
+
+
+def test_prefetcher_reraises_worker_error_repeatedly():
+    from pesr_tpu.data.datasets import Prefetcher
+
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    p = Prefetcher(boom())
+    assert next(p) == 1
+    import pytest as _pytest
+    for _ in range(2):  # both the first and any later next() re-raise
+        with _pytest.raises(RuntimeError, match="decode failed"):
+            next(p)
+    p.close()

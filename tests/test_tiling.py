@@ -522,3 +522,33 @@ def test_mesh_axis_validation():
     with pytest.raises(ValueError, match="requires a mesh"):
         BatchTiledUpscaler(lambda v, x: x, {}, 2, 16, 8,
                            mesh_axis="tiles")
+
+
+def test_spatial_upscale_many_does_not_pad_batch():
+    """Review regression: spatial mode ('tiles') shards the TILE axis,
+    so upscale_many must NOT pad the image batch to a mesh multiple —
+    that multiplied single-image work by up to mesh.size."""
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    from pesr_tpu.parallel import make_mesh
+    mesh = make_mesh(8)
+    variables = _gen_params()
+    sp = BatchTiledUpscaler(GEN.apply, variables, SCALE, tile_size=16,
+                            overlap=8, mesh=mesh, mesh_axis="tiles")
+    calls = []
+    orig = sp.upscale_batch_device
+    sp.upscale_batch_device = lambda z: calls.append(z.shape) or orig(z)
+    img = np.random.default_rng(0).integers(0, 255, (20, 28, 3),
+                                            dtype=np.uint8)
+    out = sp.upscale_many([img])
+    assert len(out) == 1 and out[0].shape == (40, 56, 3)
+    assert calls == [(1, 20, 28, 3)], calls  # batch 1, NOT padded to 8
+
+
+def test_batch_engine_validates_tile_and_overlap():
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    variables = _gen_params()
+    with pytest.raises(ValueError, match="tile_size"):
+        BatchTiledUpscaler(GEN.apply, variables, SCALE, tile_size=0)
+    with pytest.raises(ValueError, match="overlap"):
+        BatchTiledUpscaler(GEN.apply, variables, SCALE, tile_size=16,
+                           overlap=-1)
