@@ -4,8 +4,9 @@
 Runs PESR's config-3 recipe end-to-end on this machine's own artifacts:
 the synthetic-corpus-trained VGG trunk (benchmarks/pretrain_vgg.py) as
 the perceptual anchor, a GAN fine-tune from the demo checkpoint, and a
-before/after PSNR + PIRM-PI comparison (forest-backed Ma + synthetic
-NIQE — provenance-tagged, relative comparisons only):
+before/after PSNR + PIRM-PI comparison (forest-backed Ma + exact NIQE
+under both the natural-image-fitted defaults and the synthetic-fitted
+in-domain models — provenance-tagged, relative comparisons only):
 
     python benchmarks/perceptual_demo.py [--steps 1000]
         [--alpha_vgg 100] [--alpha_gan 0.1] [--alpha_l1 20]
@@ -48,9 +49,22 @@ def evaluate(ckpt: str, tag: str) -> dict:
     srs = eng.upscale_many([s.lr for s in samples], batch_size=8)
     psnr = float(np.mean([calc_psnr(sr, s.hr, crop_border=opts.scale)
                           for sr, s in zip(srs, samples)]))
+    # Default models (natural-image-fitted when packaged) AND the
+    # synthetic-fitted pair — the latter is the in-domain measure for
+    # this synthetic-corpus demo (demo/README.md table).
     pi = float(np.mean([perceptual_index(sr) for sr in srs]))
     out = {"ckpt": ckpt, "step": step, "psnr": round(psnr, 3),
            "pi": round(pi, 3)}
+    metrics_dir = os.path.join(REPO, "pesr_tpu", "metrics")
+    synth_niqe = os.path.join(metrics_dir, "niqe_model.npz")
+    synth_ma = os.path.join(metrics_dir, "ma_model_synthetic.npz")
+    if os.path.exists(synth_niqe) and os.path.exists(synth_ma):
+        from pesr_tpu.metrics.ma_features import load_ma_model
+        from pesr_tpu.metrics.niqe import NiqeModel
+        nm, mm = NiqeModel.load(synth_niqe), load_ma_model(synth_ma)
+        out["pi_synthetic_models"] = round(float(np.mean(
+            [perceptual_index(sr, niqe_model=nm, ma_predictor=mm)
+             for sr in srs])), 3)
     print(f"[demo] {tag}: {out}", flush=True)
     return out
 

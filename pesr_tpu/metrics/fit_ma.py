@@ -27,7 +27,7 @@ runtime metric evaluation has no sklearn dependency.
 from __future__ import annotations
 
 import argparse
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -71,19 +71,47 @@ def degradation_ladder(hr: np.ndarray, rng: np.random.Generator
     ]
 
 
-def build_training_set(num_images: int = 24, crop: int = 192,
-                       seed: int = 77
-                       ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
-    """Feature matrices per group + target vector over the ladder."""
-    from pesr_tpu.data.datasets import SyntheticImages
+def crops_from_images(images: List[np.ndarray], crop: int = 192,
+                      max_crops_per_image: int = 4) -> List[np.ndarray]:
+    """Deterministic grid of up to N crop x crop windows per image —
+    turns arbitrarily-sized pristine sources (e.g. the natural-image
+    registry) into ladder-ready HR patches."""
+    out: List[np.ndarray] = []
+    for img in images:
+        h, w = img.shape[:2]
+        if h < crop or w < crop:
+            continue
+        nh, nw = h // crop, w // crop
+        # Corner-spread picks: corners first, row-major fallback.
+        coords = [(i, j) for i in range(nh) for j in range(nw)]
+        coords.sort(key=lambda ij: (min(ij[0], nh - 1 - ij[0])
+                                    + min(ij[1], nw - 1 - ij[1])))
+        for i, j in coords[:max_crops_per_image]:
+            out.append(img[i * crop:(i + 1) * crop,
+                           j * crop:(j + 1) * crop])
+    return out
 
-    src = SyntheticImages(num_images=num_images, height=crop, width=crop,
-                          seed=seed)
+
+def build_training_set(num_images: int = 24, crop: int = 192,
+                       seed: int = 77,
+                       hr_images: Optional[List[np.ndarray]] = None
+                       ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+    """Feature matrices per group + target vector over the ladder.
+
+    ``hr_images``: explicit pristine HR sources (cropped to ``crop``
+    windows); default is the deterministic synthetic corpus."""
+    if hr_images is not None:
+        patches = crops_from_images(hr_images, crop=crop)
+    else:
+        from pesr_tpu.data.datasets import SyntheticImages
+        src = SyntheticImages(num_images=num_images, height=crop,
+                              width=crop, seed=seed)
+        patches = [src.get(i) for i in range(len(src))]
     rng = np.random.default_rng(seed)
     cols: Dict[str, List[np.ndarray]] = {g: [] for g in _GROUPS}
     ys: List[float] = []
-    for i in range(len(src)):
-        for variant, score in degradation_ladder(src.get(i), rng):
+    for hr in patches:
+        for variant, score in degradation_ladder(hr, rng):
             feats = extract_ma_features(variant)
             for g in _GROUPS:
                 cols[g].append(feats[g])
@@ -118,10 +146,13 @@ def _export_forest(forest, prefix: str) -> Dict[str, np.ndarray]:
 
 
 def fit_ma_model(num_images: int = 24, n_trees: int = 12,
-                 max_depth: int = 7, seed: int = 77) -> MaModel:
+                 max_depth: int = 7, seed: int = 77,
+                 hr_images: Optional[List[np.ndarray]] = None,
+                 provenance: Optional[str] = None) -> MaModel:
     from sklearn.ensemble import RandomForestRegressor
 
-    x, y = build_training_set(num_images=num_images, seed=seed)
+    x, y = build_training_set(num_images=num_images, seed=seed,
+                              hr_images=hr_images)
     arrays: Dict[str, np.ndarray] = {}
     for g in _GROUPS:
         forest = RandomForestRegressor(
@@ -130,10 +161,10 @@ def fit_ma_model(num_images: int = 24, n_trees: int = 12,
         arrays.update(_export_forest(forest, g))
     arrays["combine_w"] = np.full(3, 1 / 3, np.float32)
     arrays["combine_b"] = np.float32(0.0)
-    arrays["provenance"] = np.str_(
+    arrays["provenance"] = np.str_(provenance or (
         "synthetic-fitted: degradation-ladder ordinal targets on the "
         "deterministic synthetic corpus (fit_ma.py) — ordering-faithful "
-        "for SR degradations, NOT published-Ma comparable")
+        "for SR degradations, NOT published-Ma comparable"))
     return MaModel(arrays)
 
 

@@ -8,10 +8,13 @@ without the training corpus.  This module provides:
 
   * ``ma_score(img, predictor=None)`` — resolution order: explicit
     ``predictor`` > ``$PESR_MA_MODEL`` forest npz > the packaged
-    synthetic-fitted forest (``ma_model_synthetic.npz``, fit_ma.py —
-    the genuine 3-family feature pipeline + forest predictor,
-    ordering-verified on held-out degradations) > the approximation
-    below; ``ma_provenance()`` reports which one is active;
+    natural-image-fitted forest (``ma_model_natural.npz``,
+    fit_natural.py — degradation ladder over real photographs found in
+    installed packages) > the packaged synthetic-fitted forest
+    (``ma_model_synthetic.npz``, fit_ma.py) > the approximation below;
+    all forests run the genuine 3-family feature pipeline + forest
+    predictor, ordering-verified on held-out degradations;
+    ``ma_provenance()`` reports which one is active;
   * ``ma_score_approx`` — a fixed, documented approximation built from
     the same statistic families the real regressor consumes (local
     frequency-energy distribution and MSCN spread), mapped to [0, 10].
@@ -81,12 +84,15 @@ _REAL_MODEL = None
 _REAL_MODEL_PATH = ""    # path the loaded forest actually came from
 _RESOLVED_ENV = None     # env value the cache was resolved against
 
-# Synthetic-fitted default forest (metrics/fit_ma.py): the genuine
-# 3-family feature pipeline + forest predictor, ordering-verified on
-# held-out degradations.  $PESR_MA_MODEL (converted MATLAB TreeBagger
-# weights) overrides it the moment real weights exist.
-_DEFAULT_FOREST_PATH = os.path.join(os.path.dirname(__file__),
-                                    "ma_model_synthetic.npz")
+# Packaged default forests (genuine 3-family feature pipeline + forest
+# predictor, ordering-verified on held-out degradations).  Preference:
+# natural-image-fitted (metrics/fit_natural.py — degradation ladder over
+# real photographs found in installed packages) > synthetic-fitted
+# (metrics/fit_ma.py).  $PESR_MA_MODEL (e.g. converted MATLAB TreeBagger
+# weights) overrides both the moment real weights exist.
+_HERE = os.path.dirname(__file__)
+_DEFAULT_FOREST_PATHS = (os.path.join(_HERE, "ma_model_natural.npz"),
+                         os.path.join(_HERE, "ma_model_synthetic.npz"))
 
 
 def _real_model():
@@ -106,11 +112,12 @@ def _real_model():
                 # Provenance must reflect what actually loaded, never
                 # the user's intent (round-3 review).
                 print(f"[ma] WARNING: PESR_MA_MODEL={env} does not "
-                      "exist; falling back to the packaged "
-                      "synthetic-fitted forest")
-            if os.path.exists(_DEFAULT_FOREST_PATH):
-                _REAL_MODEL = load_ma_model(_DEFAULT_FOREST_PATH)
-                _REAL_MODEL_PATH = _DEFAULT_FOREST_PATH
+                      "exist; falling back to the packaged forest")
+            for path in _DEFAULT_FOREST_PATHS:
+                if os.path.exists(path):
+                    _REAL_MODEL = load_ma_model(path)
+                    _REAL_MODEL_PATH = path
+                    break
         _RESOLVED_ENV = env
     return _REAL_MODEL
 

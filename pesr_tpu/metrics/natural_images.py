@@ -1,0 +1,163 @@
+"""Curated registry of REAL photographic images shipped inside packages
+installed on this machine, used to fit the no-reference metric models
+(NIQE pristine statistics, Ma degradation forest) on natural-image
+statistics instead of the synthetic corpus.
+
+Why this exists: the PIRM perceptual index (SURVEY.md §2 item 10, §3.5)
+is built on models fitted to pristine NATURAL images — MATLAB's NIQE
+``modelparameters.mat`` was fitted on 125 unblemished photographs, and
+the Ma regressor on human-rated SR outputs of natural images.  Neither
+artifact is available here (zero egress, no DIV2K on disk), and the
+round-2 fallback — fitting on the deterministic synthetic corpus —
+yields scores whose ABSOLUTE values are not meaningful (verdict round 2,
+weak #3/#4).  This module closes most of that gap with what the machine
+actually has: a dozen genuine photographs (scenes, a portrait, and
+photographic material textures) that ship as data files of installed
+third-party packages.
+
+Curation rules (applied by eye over every raster >30 kB in
+site-packages; see the registry below):
+
+* photographs only — no renders, procedural textures, texture atlases
+  with dead regions, plots, screenshots, or images with graphic
+  overlays (grid lines, text);
+* JPEG sources are accepted only at high quality: ``china``/``flower``
+  carry near-unity quantization tables (quality ~98, artifacts below
+  the MSCN noise floor); ``grace_hopper`` (~quality 78) is DOWNSCALED
+  2x with the exact MATLAB-bicubic antialias kernel, the standard way
+  to suppress block artifacts and sensor noise before fitting pristine
+  statistics; lossless PNGs are used at full resolution;
+* one deliberately-noisy webcam JPEG (``camera_rgb``) is registered as
+  a HOLDOUT — never fitted, used by tests to check that fitted models
+  order degradations correctly on an image they have not seen.
+
+The images themselves are never copied or committed — only fitted model
+statistics (mean/covariance, forest splits) are, exactly like the
+MATLAB artifacts this replaces.  Fitting is reproducible on any machine
+with the same packages via ``python -m pesr_tpu.metrics.fit_natural``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib.util
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# Treatments: "full" = use as-is; "halve" = antialiased 0.5x downscale
+# (JPEG-artifact / noise suppression for mid-quality sources).
+_FULL, _HALVE = "full", "halve"
+
+
+@dataclasses.dataclass(frozen=True)
+class NaturalImage:
+    module: str     # top-level package whose install dir holds the file
+    relpath: str    # path relative to the package directory
+    treatment: str  # _FULL or _HALVE
+    holdout: bool = False  # excluded from fits; reserved for tests
+
+    @property
+    def name(self) -> str:
+        return os.path.splitext(os.path.basename(self.relpath))[0]
+
+
+REGISTRY: Tuple[NaturalImage, ...] = (
+    # Scenes / subjects
+    NaturalImage("sklearn", "datasets/images/china.jpg", _FULL),
+    NaturalImage("sklearn", "datasets/images/flower.jpg", _FULL),
+    NaturalImage("matplotlib", "mpl-data/sample_data/grace_hopper.jpg",
+                 _HALVE),
+    # Photographic material textures (lossless PNG)
+    NaturalImage("dm_control",
+                 "locomotion/arenas/assets/outdoor_natural/"
+                 "OutdoorGrassFloorD.png", _FULL),
+    NaturalImage("gymnasium_robotics",
+                 "envs/assets/adroit_hand/resources/textures/foil.png",
+                 _FULL),
+    NaturalImage("gymnasium_robotics",
+                 "envs/assets/adroit_hand/resources/textures/marble.png",
+                 _FULL),
+    NaturalImage("gymnasium_robotics",
+                 "envs/assets/adroit_hand/resources/textures/"
+                 "silverRaw.png", _FULL),
+    NaturalImage("gymnasium_robotics",
+                 "envs/assets/adroit_hand/resources/textures/"
+                 "darkwood.png", _FULL),
+    NaturalImage("gymnasium_robotics",
+                 "envs/assets/adroit_hand/resources/textures/skin.png",
+                 _FULL),
+    NaturalImage("gymnasium_robotics",
+                 "envs/assets/kitchen_franka/kitchen_assets/textures/"
+                 "tile1.png", _FULL),
+    NaturalImage("gymnasium_robotics",
+                 "envs/assets/kitchen_franka/kitchen_assets/textures/"
+                 "wood1.png", _FULL),
+    NaturalImage("gymnasium_robotics",
+                 "envs/assets/kitchen_franka/kitchen_assets/textures/"
+                 "marble1.png", _FULL),
+    # Holdout: real webcam photo (noisy + JPEG) — test-only.
+    NaturalImage("pygame", "docs/generated/_images/camera_rgb.jpg",
+                 _FULL, holdout=True),
+)
+
+
+def _package_dir(module: str) -> Optional[str]:
+    """Install directory of a top-level package WITHOUT importing it
+    (find_spec reads metadata only for top-level names)."""
+    try:
+        spec = importlib.util.find_spec(module)
+    except (ImportError, ValueError):
+        return None
+    if spec is None:
+        return None
+    if spec.submodule_search_locations:
+        return list(spec.submodule_search_locations)[0]
+    return os.path.dirname(spec.origin) if spec.origin else None
+
+
+def resolve(entry: NaturalImage) -> Optional[str]:
+    """Absolute path of a registry entry, or None if not installed."""
+    base = _package_dir(entry.module)
+    if not base:
+        return None
+    path = os.path.join(base, *entry.relpath.split("/"))
+    return path if os.path.isfile(path) else None
+
+
+def _load(entry: NaturalImage, path: str) -> np.ndarray:
+    from pesr_tpu.utils.image_io import imread_uint8
+
+    img = imread_uint8(path)
+    if entry.treatment == _HALVE:
+        from pesr_tpu.data.datasets import host_bicubic_resize
+        h, w = img.shape[:2]
+        img = host_bicubic_resize(img, h // 2, w // 2)
+    return img
+
+
+def load_natural_images(include_holdout: bool = False,
+                        ) -> List[Tuple[str, np.ndarray]]:
+    """All available curated images as (name, HWC uint8) pairs.
+
+    Missing packages/files are skipped silently — the registry is a
+    best-effort harvest of this machine's installed packages, and the
+    fit CLI reports exactly what it used in the model provenance."""
+    out: List[Tuple[str, np.ndarray]] = []
+    for entry in REGISTRY:
+        if entry.holdout and not include_holdout:
+            continue
+        path = resolve(entry)
+        if path:
+            out.append((entry.name, _load(entry, path)))
+    return out
+
+
+def load_holdout_image() -> Optional[np.ndarray]:
+    """The never-fitted holdout photograph (None if unavailable)."""
+    for entry in REGISTRY:
+        if entry.holdout:
+            path = resolve(entry)
+            return _load(entry, path) if path else None
+    return None

@@ -208,17 +208,38 @@ def fit_niqe_model(images: Iterable[np.ndarray],
 
 
 _DEFAULT_MODEL_CACHE: Optional[NiqeModel] = None
+_RESOLVED_ENV: Optional[str] = None
+
+# Natural-image-fitted pristine model (metrics/fit_natural.py: real
+# photographs found in installed packages) — preferred over the
+# synthetic-corpus fallback when present.  $PESR_NIQE_MODEL (e.g. a
+# DIV2K-fitted npz) overrides both.
+_NATURAL_MODEL_PATH = os.path.join(os.path.dirname(__file__),
+                                   "niqe_model_natural.npz")
 
 
 def _default_model() -> NiqeModel:
-    """Load (or lazily fit) the synthetic-corpus default model, once per
-    process — niqe() runs per validation image, and without the memo a
-    read-only install would re-fit the whole pristine model per image
-    (and even the writable case re-read the npz each call)."""
-    global _DEFAULT_MODEL_CACHE
-    if _DEFAULT_MODEL_CACHE is not None:
+    """Resolve the pristine model ($PESR_NIQE_MODEL > packaged
+    natural-image-fitted > packaged synthetic-fitted > lazy synthetic
+    fit), once per process — niqe() runs per validation image, and
+    without the memo a read-only install would re-fit the whole
+    pristine model per image (and even the writable case re-read the
+    npz each call).  Re-resolves if the env var changes (tests)."""
+    global _DEFAULT_MODEL_CACHE, _RESOLVED_ENV
+    env = os.environ.get("PESR_NIQE_MODEL", "")
+    if _DEFAULT_MODEL_CACHE is not None and _RESOLVED_ENV == env:
         return _DEFAULT_MODEL_CACHE
-    if os.path.exists(_DEFAULT_MODEL_PATH):
+    _RESOLVED_ENV = env
+    if env and os.path.exists(env):
+        model = NiqeModel.load(env)
+        _DEFAULT_MODEL_CACHE = model
+        return model
+    if env:
+        print(f"[niqe] WARNING: PESR_NIQE_MODEL={env} does not exist; "
+              "falling back to the packaged pristine model")
+    if os.path.exists(_NATURAL_MODEL_PATH):
+        model = NiqeModel.load(_NATURAL_MODEL_PATH)
+    elif os.path.exists(_DEFAULT_MODEL_PATH):
         model = NiqeModel.load(_DEFAULT_MODEL_PATH)
     else:
         from pesr_tpu.data.datasets import SyntheticImages

@@ -41,7 +41,11 @@ def test_packaged_forest_is_default_and_orders_degradations():
 
     assert os.path.exists(_FOREST)
     assert ma_provenance().startswith("forest:")
-    assert "synthetic-fitted" in ma_provenance()
+    # Round-3: the natural-image-fitted forest outranks the synthetic
+    # one when packaged (metrics/fit_natural.py); either way a forest —
+    # not the approximation — must be the default.
+    assert ("natural-image-fitted" in ma_provenance()
+            or "synthetic-fitted" in ma_provenance())
 
     hr = SyntheticImages(num_images=1, height=160, width=160,
                          seed=31415).get(0)
@@ -94,9 +98,9 @@ def test_pirm_json_reports_model_provenance(tmp_path):
         capture_output=True, text=True, env=env, check=True).stdout
     rec = json.loads(out.strip().splitlines()[-1])
     assert {"pi", "niqe", "ma", "niqe_model", "ma_model"} <= rec.keys()
-    assert "synthetic-fitted" in rec["niqe_model"]
+    assert "-fitted" in rec["niqe_model"]  # natural- or synthetic-
     assert rec["ma_model"].startswith("forest:")
-    assert "synthetic-fitted" in rec["ma_model"]
+    assert "-fitted" in rec["ma_model"]
 
 
 def test_forest_predictor_matches_sklearn_semantics():

@@ -1,0 +1,144 @@
+"""Natural-image-fitted metric models (metrics/natural_images.py +
+fit_natural.py): registry resolution, packaged-default preference, and
+degradation ordering on the never-fitted holdout photograph.
+
+These pin the round-3 upgrade of the PIRM perceptual index from
+synthetic-fitted to natural-image statistics (SURVEY.md §2 item 10;
+round-2 verdict weak #3/#4)."""
+
+import os
+
+import importlib
+
+import numpy as np
+import pytest
+
+from pesr_tpu.metrics import natural_images as ni
+
+_NATURAL_NIQE = os.path.join(os.path.dirname(ni.__file__),
+                             "niqe_model_natural.npz")
+_NATURAL_MA = os.path.join(os.path.dirname(ni.__file__),
+                           "ma_model_natural.npz")
+
+
+def test_registry_resolves_on_this_machine():
+    found = ni.load_natural_images()
+    if len(found) < 4:
+        pytest.skip("curated source packages not installed here")
+    for name, img in found:
+        assert img.dtype == np.uint8 and img.ndim == 3
+        assert min(img.shape[:2]) >= 192, name
+    names = [n for n, _ in found]
+    assert len(set(names)) == len(names)
+
+
+def test_holdout_never_in_fit_set():
+    fit_names = {e.name for e in ni.REGISTRY if not e.holdout}
+    hold_names = {e.name for e in ni.REGISTRY if e.holdout}
+    assert hold_names and not (fit_names & hold_names)
+
+
+@pytest.fixture()
+def _clean_env(monkeypatch):
+    monkeypatch.delenv("PESR_NIQE_MODEL", raising=False)
+    monkeypatch.delenv("PESR_MA_MODEL", raising=False)
+
+
+def test_packaged_natural_models_exist_with_provenance():
+    assert os.path.exists(_NATURAL_NIQE), \
+        "run python -m pesr_tpu.metrics.fit_natural"
+    assert os.path.exists(_NATURAL_MA)
+    from pesr_tpu.metrics.ma_features import load_ma_model
+    from pesr_tpu.metrics.niqe import NiqeModel
+    nm = NiqeModel.load(_NATURAL_NIQE)
+    assert "natural-image-fitted" in nm.provenance
+    assert nm.mu.shape == (36,) and nm.cov.shape == (36, 36)
+    mm = load_ma_model(_NATURAL_MA)
+    assert "natural-image-fitted" in str(mm.arrays["provenance"])
+
+
+def test_niqe_default_prefers_natural_model(_clean_env):
+    niqe_mod = importlib.import_module("pesr_tpu.metrics.niqe")
+    niqe_mod._DEFAULT_MODEL_CACHE = None
+    niqe_mod._RESOLVED_ENV = None
+    model = niqe_mod._default_model()
+    assert "natural-image-fitted" in model.provenance
+
+
+def test_niqe_env_override(monkeypatch, _clean_env):
+    niqe_mod = importlib.import_module("pesr_tpu.metrics.niqe")
+    synth = niqe_mod._DEFAULT_MODEL_PATH
+    if not os.path.exists(synth):
+        pytest.skip("no packaged synthetic model")
+    monkeypatch.setenv("PESR_NIQE_MODEL", synth)
+    model = niqe_mod._default_model()
+    assert "natural-image-fitted" not in model.provenance
+    monkeypatch.delenv("PESR_NIQE_MODEL")
+    assert "natural-image-fitted" in niqe_mod._default_model().provenance
+
+
+def test_ma_default_prefers_natural_forest(_clean_env):
+    ma_mod = importlib.import_module("pesr_tpu.metrics.ma")
+    ma_mod._RESOLVED_ENV = None  # force re-resolution without env
+    assert "natural-image-fitted" in ma_mod.ma_provenance()
+
+
+def test_niqe_ordering_on_holdout_photo(_clean_env):
+    """Pristine < bicubic-x4-up < heavy blur on the never-fitted webcam
+    photo, under the natural-fitted pristine model."""
+    holdout = ni.load_holdout_image()
+    if holdout is None:
+        pytest.skip("holdout image not installed here")
+    from pesr_tpu.metrics.fit_ma import degradation_ladder
+    from pesr_tpu.metrics.niqe import NiqeModel, niqe
+    model = NiqeModel.load(_NATURAL_NIQE)
+    ladder = degradation_ladder(holdout, np.random.default_rng(0))
+    pristine = niqe(ladder[0][0], model)
+    x4up = niqe(ladder[5][0], model)
+    blur = niqe(ladder[7][0], model)
+    assert pristine < x4up < blur, (pristine, x4up, blur)
+
+
+def test_ma_ordering_on_holdout_photo(_clean_env):
+    holdout = ni.load_holdout_image()
+    if holdout is None:
+        pytest.skip("holdout image not installed here")
+    from pesr_tpu.metrics.fit_ma import (crops_from_images,
+                                         degradation_ladder)
+    from pesr_tpu.metrics.ma_features import load_ma_model
+    model = load_ma_model(_NATURAL_MA)
+    crop = crops_from_images([holdout], crop=192,
+                             max_crops_per_image=1)[0]
+    ladder = degradation_ladder(crop, np.random.default_rng(0))
+    s_hr = model(ladder[0][0])
+    s_mid = model(ladder[5][0])
+    s_bad = model(ladder[7][0])
+    assert s_hr > s_mid > s_bad, (s_hr, s_mid, s_bad)
+
+
+def test_crops_from_images_grid():
+    from pesr_tpu.metrics.fit_ma import crops_from_images
+    img = np.arange(400 * 600 * 3, dtype=np.int64).reshape(400, 600, 3)
+    img = (img % 251).astype(np.uint8)
+    crops = crops_from_images([img], crop=192, max_crops_per_image=4)
+    assert len(crops) == 4  # 2x3 grid capped at max_crops_per_image
+    for c in crops:
+        assert c.shape == (192, 192, 3)
+    small = np.zeros((100, 100, 3), np.uint8)
+    assert crops_from_images([small], crop=192) == []
+
+
+def test_pirm_json_carries_natural_provenance(tmp_path, _clean_env):
+    from pesr_tpu.metrics import pirm
+    from pesr_tpu.utils.image_io import imwrite_uint8
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (200, 200, 3), dtype=np.uint8)
+    imwrite_uint8(str(tmp_path / "a.png"), img)
+    ma_mod = importlib.import_module("pesr_tpu.metrics.ma")
+    ma_mod._RESOLVED_ENV = None
+    niqe_mod = importlib.import_module("pesr_tpu.metrics.niqe")
+    niqe_mod._DEFAULT_MODEL_CACHE = None
+    niqe_mod._RESOLVED_ENV = None
+    result = pirm.evaluate_dir(str(tmp_path), verbose=False)
+    assert "natural-image-fitted" in result["niqe_model"]
+    assert "natural-image-fitted" in result["ma_model"]
