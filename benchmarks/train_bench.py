@@ -59,6 +59,11 @@ def _bench_phase(opts, phase: str, steps: int) -> dict:
     rng, g_key, d_key, v_key = jax.random.split(rng, 4)
     gen = build_generator(opts)
     g_state = create_generator_state(opts, gen, g_key)
+    if opts.fold_train and phase != "qat":
+        from pesr_tpu.models.fold import make_fold_train_apply
+        g_state = g_state.replace(apply_fn=make_fold_train_apply(
+            opts.scale, opts.res_scale, jnp.bfloat16,
+            remat=opts.remat, unroll=opts.unroll_body))
 
     gan = phase == "train"
     if gan:
@@ -152,6 +157,7 @@ def main() -> int:
         grad_accum=int(os.environ.get("TB_ACCUM", "1")),
         unroll_body=os.environ.get("TB_UNROLL", "0") == "1",
         remat=os.environ.get("TB_REMAT", "0") == "1",
+        fold_train=os.environ.get("TB_FOLD_TRAIN", "0") == "1",
         compute_dtype="bfloat16",
         # Random-init VGG anchors throughput only (see module docstring);
         # production weight guidance lives in training/loop.py.

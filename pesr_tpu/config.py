@@ -122,6 +122,11 @@ class Opts:
                                       # (+5% pretrain steps/s for a ~1min
                                       # one-time compile; identical
                                       # params/grads)
+    fold_train: bool = False          # train through the folded upsampler
+                                      # (differentiable analytic fold;
+                                      # interior-exact, patch borders see
+                                      # fold padding — models/fold.py
+                                      # make_fold_train_apply)
     fold: bool = True                 # folded upsampler at inference
                                       # (exact through tiling; models/fold.py)
     quant: str = "none"               # none | int8 (PTQ inference path)
@@ -274,6 +279,11 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
     _add_bool_flag(g, "unroll_body", d.unroll_body,
                    "unroll the residual-body scan in the train step "
                    "(+5% measured at flagship; ~1min one-time compile)")
+    _add_bool_flag(g, "fold_train", d.fold_train,
+                   "train through the differentiable folded upsampler "
+                   "(~+30% step rate at flagship; patch borders see the "
+                   "fold's one-shot zero padding instead of per-stage "
+                   "padding — interior semantics identical)")
     _add_bool_flag(g, "fold", d.fold,
                    "fold the linear upsampler+out chain into one conv "
                    "at inference (tiled modes; exact on the interior)")

@@ -145,6 +145,167 @@ def fold_upsampler(params: Dict[str, Any], scale: int
     return kernel, bias, (pad_lo, pad_hi)
 
 
+def analytic_fold_upsampler(up_params: Dict[str, Any],
+                            out_params: Dict[str, Any], scale: int,
+                            precision=jax.lax.Precision.HIGHEST
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                       Tuple[int, int]]:
+    """Differentiable (pure-jnp) fold of the upsampler+out chain.
+
+    Same composite as :func:`fold_upsampler` (verified equal in
+    tests/test_fold.py) but built by ANALYTIC kernel composition instead
+    of impulse probing, so it is cheap (~45 GFLOP of weight-space
+    einsums at flagship x4 vs ~0.7 TFLOP of probe forwards) and
+    **differentiable** — gradients flow through the fold back to the
+    canonical ``upsampler``/``out`` parameters.  This is what makes the
+    folded upsampler usable in TRAINING (``--fold_train``): the train
+    state keeps the reference parameter tree (checkpoints unchanged)
+    while the compiled step runs the single folded conv at LR
+    resolution, skipping the resolution-scaled stage convs, the
+    pixel-shuffle layout copies, and the 3-lane out conv (~27% of the
+    flagship pretrain step, profiled on-chip 2026-08-18).
+
+    Composition rule: maintain ``(G, F)`` where the chain so far is
+    ``pixel_shuffle(conv(x, G), F)`` with ``G`` centered (radius rG,
+    zero padding) and pixel-shuffle channel order ``m*F² + i*F + j``
+    (ops/pixel_shuffle contract).  Absorbing the next SAME conv ``k``
+    (radius ρ, at resolution F·LR) uses, per output phase ``i`` and tap
+    ``di``:  ``i + di = F·a + i'`` (``a`` the LR shift, ``i'`` the
+    source phase), i.e.
+
+        H[rH+a+u, rH+b+v, c, (n,i,j)]
+            += k[ρ+di, ρ+dj, m, n] · G[rG+u, rG+v, c, (m,i',j')]
+
+    then a following pixel_shuffle(f) re-maps ``n = m·f² + i₂·f + j₂``
+    to combined phase ``(f·i₁+i₂, f·j₁+j₂)`` at factor ``F·f`` (a pure
+    channel permutation).  Biases compose by running the original chain
+    on a zero input (linear => the bias field) at a tiny interior-safe
+    size and reading one LR pixel's s² phases — also differentiable.
+
+    Returns ``(kernel [h,h,C,3·s²] f32, bias [3·s²] f32, (rH, rH))``
+    with the full symmetric support (no zero-fringe trim — the trim is
+    data-dependent, which a traced/differentiable path cannot do; the
+    extra taps are multiply-by-zero work, <1% of a training step).
+    """
+    stages = upsample_stages(scale)
+    if not stages:
+        k = jnp.asarray(out_params["kernel"], jnp.float32)
+        b = jnp.asarray(out_params["bias"], jnp.float32)
+        r = (k.shape[0] - 1) // 2
+        return k, b, (r, r)
+
+    def absorb(G: jnp.ndarray, F: int, k: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, int]:
+        """Absorb SAME conv ``k`` [κ,κ,M,N] at resolution F·LR into
+        centered composite ``G`` [g,g,C,F²·M] -> H [h,h,C,F²·N]."""
+        g, _, c, fm = G.shape
+        kk, _, m, n = k.shape
+        assert fm == F * F * m, (fm, F, m)
+        rg, rho = (g - 1) // 2, (kk - 1) // 2
+        # LR shift range: a = floor((i + di) / F), i in [0,F), di in
+        # [-rho, rho].
+        a_min = -((rho + F - 1) // F)         # floor(-rho / F)
+        a_max = (F - 1 + rho) // F
+        ra = max(-a_min, a_max)
+        rh = rg + ra
+        h = 2 * rh + 1
+        # G by source phase: [g, g, C, M, F(i'), F(j')]
+        Gp = G.reshape(g, g, c, m, F, F)
+        # Per output phase: sum the κ² shifted einsum terms as padded
+        # adds (fuses into one loop fusion; a scatter-add formulation
+        # would rewrite the whole H buffer per term), then stack the
+        # F² phases into the trailing layout axes.
+        rows = []
+        for i in range(F):
+            row = []
+            for j in range(F):
+                acc = None
+                for di in range(-rho, rho + 1):
+                    a, ip = divmod(i + di, F)
+                    for dj in range(-rho, rho + 1):
+                        b_, jp = divmod(j + dj, F)
+                        # HIGHEST by default: the composite kernel is a
+                        # parameter-space object reused across the whole
+                        # batch — fold it in full f32 (default precision
+                        # rounds the contraction through bf16 on TPU,
+                        # ~0.4% relative error measured).  bf16 TRAINING
+                        # passes precision=DEFAULT instead: its forward
+                        # already rounds every conv input to bf16, so
+                        # HIGHEST here buys nothing but ~12 ms/step of
+                        # 6-pass einsum fwd+VJP (profiled on-chip).
+                        term = jnp.einsum(
+                            "uvcm,mn->uvcn", Gp[:, :, :, :, ip, jp],
+                            k[rho + di, rho + dj], precision=precision)
+                        u0 = rh - rg + a
+                        v0 = rh - rg + b_
+                        padded = jnp.pad(
+                            term, ((u0, h - g - u0), (v0, h - g - v0),
+                                   (0, 0), (0, 0)))
+                        acc = padded if acc is None else acc + padded
+                row.append(acc)
+            rows.append(jnp.stack(row, axis=-1))          # [h,h,c,n,F(j)]
+        H = jnp.stack(rows, axis=-2)                      # [h,h,c,n,F,F]
+        return H.reshape(h, h, c, F * F * n), F
+
+    def ps_remap(H: jnp.ndarray, F: int, f: int) -> Tuple[jnp.ndarray, int]:
+        """Channel layout (n·F²+i₁·F+j₁ with n = m·f²+i₂·f+j₂) ->
+        m·(Ff)² + (f·i₁+i₂)·(Ff) + (f·j₁+j₂)."""
+        h, _, c, _ = H.shape
+        m = H.shape[3] // (F * F * f * f)
+        x = H.reshape(h, h, c, m, f, f, F, F)  # m, i2, j2, i1, j1
+        x = x.transpose(0, 1, 2, 3, 6, 4, 7, 5)  # m, i1, i2, j1, j2
+        return x.reshape(h, h, c, m * (F * f) ** 2), F * f
+
+    # Stage 0 conv feeds the first pixel_shuffle directly: its output
+    # channel order IS the PS layout.
+    G = jnp.asarray(up_params["conv0"]["kernel"], jnp.float32)
+    F = stages[0]
+    for t, f in enumerate(stages[1:], start=1):
+        k_t = jnp.asarray(up_params[f"conv{t}"]["kernel"], jnp.float32)
+        G, F = absorb(G, F, k_t)
+        G, F = ps_remap(G, F, f)
+    G, F = absorb(G, F, jnp.asarray(out_params["kernel"], jnp.float32))
+    assert F == scale
+    rh = (G.shape[0] - 1) // 2
+
+    # Static trim to the TRUE support: a conv of radius ρ at resolution
+    # F·LR moves the LR receptive field by at most ρ/F, so the composite
+    # radius is ceil(Σ ρ_t / F_t) — exact rational arithmetic, and the
+    # equality-vs-probe tests in tests/test_fold.py would fail loudly if
+    # this ever under-counted.  (absorb's per-stage bound accumulates
+    # whole-pixel shifts and overshoots: 7x7/9x9 of mostly-zero taps at
+    # x4/x8 where the true support is 5x5 at every scale here.)
+    from fractions import Fraction
+
+    def _radius(p):
+        return (int(p["kernel"].shape[0]) - 1) // 2
+
+    r_frac = Fraction(_radius(up_params["conv0"]))  # conv0 runs at LR
+    ft = stages[0]
+    for t, f in enumerate(stages[1:], start=1):
+        r_frac += Fraction(_radius(up_params[f"conv{t}"]), ft)
+        ft *= f
+    r_frac += Fraction(_radius(out_params), ft)     # out conv at scale·LR
+    rt = int(-(-r_frac.numerator // r_frac.denominator))  # ceil
+    if rt < rh:
+        G = G[rh - rt:rh + rt + 1, rh - rt:rh + rt + 1]
+        rh = rt
+
+    # Bias: the chain is affine, so bias = chain(0) — constant per
+    # final-PS phase on the interior.  Evaluate on a zero input just
+    # big enough that the center LR pixel is interior, and read its s²
+    # phases (differentiable; ~nothing FLOPs).
+    p_in = 2 * (rh + 1) + 1
+    zero = jnp.zeros((1, p_in, p_in, G.shape[2]), jnp.float32)
+    field = _chain_apply(up_params, out_params, stages, zero)[0]
+    cy = cx = (p_in // 2) * scale
+    img_ch = int(out_params["kernel"].shape[3])
+    # bias[col·s² + i·s + j] = field[cy+i, cx+j, col]
+    patch = field[cy:cy + scale, cx:cx + scale, :]  # [s, s, col]
+    bias = patch.transpose(2, 0, 1).reshape(img_ch * scale * scale)
+    return G, bias, (rh, rh)
+
+
 def fold_generator_params(params: Dict[str, Any], scale: int
                           ) -> Dict[str, Any]:
     """Params tree for :func:`make_folded_apply`: head/body/tail are
@@ -223,6 +384,89 @@ def make_folded_apply(scale: int, res_scale: float = 0.1,
     # much replicate-padded context, cropped after the forward.
     apply.min_halo = apply_u8.min_halo = fold_min_halo(scale)
     apply.uint8_variant = apply_u8
+    return apply
+
+
+def make_fold_train_apply(scale: int, res_scale: float = 0.1,
+                          dtype=jnp.bfloat16, remat: bool = False,
+                          unroll: bool = False) -> Callable:
+    """Trainable folded-upsampler forward (``--fold_train``).
+
+    Signature-compatible with ``models.Generator.apply`` over the
+    CANONICAL parameter tree (head/body/tail/upsampler/out) — train
+    states, checkpoints, and the torch converter are untouched — but
+    the compiled step derives the folded conv from the upsampler+out
+    weights via :func:`analytic_fold_upsampler` (differentiable; the
+    optimizer updates the canonical weights through the fold's VJP) and
+    runs ONE small conv at LR resolution plus one depth-to-space.
+
+    Why: profiled on-chip (flagship x4 pretrain step, 2026-08-18), the
+    unfolded upsampler chain costs ~27% of the step — the stage convs
+    pay resolution-scaled 256->1024 matmuls, the pixel-shuffle reshape
+    materializes layout copies of the 2x/4x-resolution tensors in fwd
+    AND bwd, and the 3-channel out conv runs at 3/128 lane utilization.
+    The fold removes all three for ~0.05 ms of weight-space einsums.
+
+    Semantics: identical to the reference forward on the patch
+    INTERIOR; within ``fold_min_halo(scale)`` LR pixels of a patch
+    border the folded conv zero-pads its input once where the original
+    chain zero-pads each intermediate (same trade the inference fold
+    makes, where the tiling engines hide it with replicate-padded
+    halos).  Training patches are random interior crops, so the border
+    band is a tiny, unbiased fraction of the loss — measured
+    convergence matches the unfolded step (tests/test_fold.py) — but
+    it is a semantic deviation from the reference recipe, so it stays
+    OPT-IN.  Self-validation through the tiling engines is exact: the
+    returned apply carries ``min_halo`` and the engines pad/crop it.
+    """
+    from pesr_tpu.models.generator import _relu_save_output
+    s = scale
+    if unroll:
+        print("[fold_train] note: --unroll_body measured 2.6x SLOWER "
+              "than the default scan when combined with --fold_train on "
+              "v5e (16.7 -> 5.8 steps/s; XLA schedules the unrolled "
+              "64-conv body poorly next to the fold einsums).  Honoring "
+              "the flag, but prefer dropping it here.")
+
+    def _conv(x, p, padding="SAME"):
+        y = jax.lax.conv_general_dilated(
+            x, jnp.asarray(p["kernel"]).astype(dtype), (1, 1), padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + jnp.asarray(p["bias"]).astype(dtype)
+
+    # bf16 training folds at DEFAULT precision: the composite-kernel
+    # rounding (~0.4% relative) is the same order as the bf16 rounding
+    # every conv input in this forward already gets, and HIGHEST costs
+    # ~12 ms/step of 6-pass einsums fwd+bwd (profiled).  f32 training
+    # keeps the exact fold.
+    fold_precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                      else jax.lax.Precision.DEFAULT)
+
+    def apply(variables: Any, x: jnp.ndarray) -> jnp.ndarray:
+        p = variables["params"]
+        kernel, bias, pads = analytic_fold_upsampler(
+            p["upsampler"], p["out"], scale, precision=fold_precision)
+        x = x.astype(dtype)
+        head = _conv(x, p["head"])
+        blk = p["body"]["block"]
+
+        def body_fn(carry, per_block):
+            c1, c2 = per_block
+            y = _relu_save_output(_conv(carry, c1))
+            y = _conv(y, c2)
+            return carry + jnp.asarray(res_scale, dtype) * y, None
+
+        fn = jax.checkpoint(body_fn) if remat else body_fn
+        y, _ = jax.lax.scan(fn, head, (blk["conv1"], blk["conv2"]),
+                            unroll=True if unroll else 1)
+        y = _conv(y, p["tail"]) + head
+        y = _conv(y, {"kernel": kernel, "bias": bias}, (pads, pads))
+        return pixel_shuffle(y, s).astype(jnp.float32)
+
+    # The loop's self-validation runs this apply through the tiling
+    # engines — the fold band needs the same replicate-pad + crop floor
+    # as the inference fold.
+    apply.min_halo = fold_min_halo(scale)
     return apply
 
 

@@ -31,9 +31,43 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from pesr_tpu.ops.pixel_shuffle import pixel_shuffle, upsample_stages
 
 Dtype = Any
+
+
+@jax.custom_vjp
+def _relu_save_output(x: jnp.ndarray) -> jnp.ndarray:
+    """ReLU whose VJP keys off the OUTPUT instead of the input.
+
+    ``jax.nn.relu``'s gradient masks with ``x > 0``, so AD must save the
+    pre-activation (as a bool mask) alongside the post-activation that
+    the next conv's weight-gradient already needs.  ``y = max(x, 0)``
+    satisfies ``y > 0  <=>  x > 0``, so masking with the output is the
+    SAME subgradient (0 at x == 0 either way) — bitwise-identical
+    gradients — and the saved mask stack disappears: inside the
+    ``nn.scan`` body each residual block then stacks two buffers
+    (carry, relu output) instead of three.  Profiled on-chip: the
+    per-iteration ``dynamic-update-slice`` stacking was ~33% of the
+    flagship pretrain step; dropping the mask stack is a direct
+    HBM-traffic cut on every training path (scan, unroll, and the
+    Pallas custom-vjp path recomputes instead and is unaffected).
+    """
+    return jnp.maximum(x, 0)
+
+
+def _relu_fwd(x):
+    y = jnp.maximum(x, 0)
+    return y, y
+
+
+def _relu_bwd(y, g):
+    return (jnp.where(y > 0, g, jnp.zeros_like(g)),)
+
+
+_relu_save_output.defvjp(_relu_fwd, _relu_bwd)
 
 
 class ResBlock(nn.Module):
@@ -49,7 +83,7 @@ class ResBlock(nn.Module):
         y = nn.Conv(self.num_channels, (3, 3), padding="SAME",
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="conv1")(x)
-        y = nn.relu(y)
+        y = _relu_save_output(y)
         y = nn.Conv(self.num_channels, (3, 3), padding="SAME",
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="conv2")(y)

@@ -170,10 +170,22 @@ def run_training(opts: Opts) -> Dict[str, float]:
         # apply_fn is all it takes — grads match the XLA path
         # (tests/test_pallas.py grad-parity tier).  QAT keeps its own
         # fake-quant apply_fn.
+        if opts.fold_train:
+            raise ValueError("--use_pallas and --fold_train both replace "
+                             "the generator apply; pick one")
         from pesr_tpu.models.pallas_apply import make_pallas_apply
         g_state = g_state.replace(apply_fn=make_pallas_apply(
             opts.scale, opts.res_scale, _dtype(opts.compute_dtype)))
         print("generator apply: fused Pallas kernels (--use_pallas)")
+    elif opts.fold_train and opts.phase != "qat":
+        # Differentiable folded upsampler (models/fold.py): same params
+        # tree, ~+30% step rate at the flagship recipe; QAT keeps its
+        # fake-quant apply (it simulates the int8 INFERENCE graph).
+        from pesr_tpu.models.fold import make_fold_train_apply
+        g_state = g_state.replace(apply_fn=make_fold_train_apply(
+            opts.scale, opts.res_scale, _dtype(opts.compute_dtype),
+            remat=opts.remat, unroll=getattr(opts, "unroll_body", False)))
+        print("generator apply: folded upsampler (--fold_train)")
 
     g_state = shard_pytree_replicated(mesh, g_state)
 

@@ -248,3 +248,123 @@ def test_engines_with_and_without_uint8_variant_agree():
     whole_p = WholeImageUpscaler(stripped(apply_fn), fvars,
                                  scale).upscale(imgs[0])
     np.testing.assert_array_equal(whole_v, whole_p)
+
+
+@pytest.mark.parametrize("scale", [1, 2, 3, 4, 6, 8])
+def test_analytic_fold_matches_probe(scale):
+    """The differentiable analytic composition (analytic_fold_upsampler)
+    and the impulse probe (fold_upsampler) are two independent
+    derivations of the same composite operator: applied to the same
+    input they must agree everywhere INCLUDING borders (both are "one
+    zero-padded conv with the composite kernel"), up to f32
+    reassociation noise."""
+    from pesr_tpu.models.fold import analytic_fold_upsampler
+
+    gen = _gen(scale)
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    k_p, b_p, pads_p = fold_upsampler(params, scale)
+    if scale == 1:
+        out_p = params["out"]
+        k_a, b_a, pads_a = analytic_fold_upsampler({}, out_p, scale)
+    else:
+        k_a, b_a, pads_a = analytic_fold_upsampler(
+            params["upsampler"], params["out"], scale)
+
+    base = {k: params[k] for k in ("head", "body", "tail")}
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, 12, 10, 3)), jnp.float32)
+    apply_p = make_folded_apply(scale, dtype=jnp.float32, pads=pads_p)
+    apply_a = make_folded_apply(scale, dtype=jnp.float32, pads=pads_a)
+    out_probe = np.asarray(apply_p(
+        {"params": {**base, "upfold": {"kernel": jnp.asarray(k_p),
+                                       "bias": jnp.asarray(b_p)}}}, x))
+    out_analytic = np.asarray(apply_a(
+        {"params": {**base, "upfold": {"kernel": k_a, "bias": b_a}}}, x))
+    scale_mag = max(1.0, float(np.abs(out_probe).max()))
+    np.testing.assert_allclose(out_analytic, out_probe,
+                               atol=2e-4 * scale_mag)
+
+
+def test_analytic_fold_gradients_reach_canonical_params():
+    """Gradients must flow THROUGH the fold back to the canonical
+    upsampler/out weights, and — on an interior-cropped loss, where the
+    folded and unfolded forwards agree exactly — match the unfolded
+    generator's gradients for EVERY parameter (head/body/tail too)."""
+    from pesr_tpu.models.fold import make_fold_train_apply
+
+    scale = 4
+    gen = _gen(scale)
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    params = variables["params"]
+    fold_apply = make_fold_train_apply(scale, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, 12, 12, 3)), jnp.float32)
+    r = fold_min_halo(scale) * scale
+
+    def loss_folded(p):
+        y = fold_apply({"params": p}, x)
+        return jnp.mean(jnp.abs(y[:, r:-r, r:-r]))
+
+    def loss_ref(p):
+        y = gen.apply({"params": p}, x)
+        return jnp.mean(jnp.abs(y[:, r:-r, r:-r]))
+
+    g_fold = jax.grad(loss_folded)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_fold)
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(g_ref)[0])
+    assert flat_f, "no gradients produced"
+    for path, gf in flat_f:
+        gr = flat_r[path]
+        denom = max(1e-3, float(np.abs(np.asarray(gr)).max()))
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-4 * denom,
+            err_msg=jax.tree_util.keystr(path))
+        assert np.any(np.asarray(gf) != 0.0), jax.tree_util.keystr(path)
+
+
+def test_fold_train_variants_identical():
+    """remat/unroll are schedule choices: outputs must be identical."""
+    from pesr_tpu.models.fold import make_fold_train_apply
+
+    scale = 2
+    gen = _gen(scale)
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 9, 9, 3)), jnp.float32)
+    base = make_fold_train_apply(scale, dtype=jnp.float32)
+    out0 = np.asarray(base({"params": params}, x))
+    for kw in ({"remat": True}, {"unroll": True}):
+        fn = make_fold_train_apply(scale, dtype=jnp.float32, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(fn({"params": params}, x)), out0, err_msg=str(kw))
+    assert base.min_halo == fold_min_halo(scale)
+
+
+def test_fold_train_pretrain_step_learns():
+    """make_pretrain_step with the fold_train apply: the loss decreases
+    and the updated params stay finite — the end-to-end opt-in path."""
+    from pesr_tpu.config import Opts
+    from pesr_tpu.models.fold import make_fold_train_apply
+    from pesr_tpu.training.state import create_generator_state
+    from pesr_tpu.training.steps import make_pretrain_step
+
+    opts = Opts(num_blocks=2, num_channels=8, patch_size=12, batch_size=4,
+                scale=2, learning_rate=1e-3, fold_train=True)
+    gen = _gen(2)
+    g_state = create_generator_state(opts, gen, jax.random.key(0))
+    g_state = g_state.replace(apply_fn=make_fold_train_apply(
+        opts.scale, opts.res_scale, jnp.float32))
+    step = make_pretrain_step(opts)
+
+    rng = np.random.default_rng(4)
+    lr_img = jnp.asarray(rng.standard_normal((4, 12, 12, 3)) * 0.3,
+                         jnp.float32)
+    hr_img = jnp.asarray(
+        np.repeat(np.repeat(np.asarray(lr_img), 2, axis=1), 2, axis=2))
+    losses = []
+    for _ in range(8):
+        g_state, metrics = step(g_state, lr_img, hr_img)
+        losses.append(float(metrics["l1"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
