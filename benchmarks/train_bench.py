@@ -28,8 +28,8 @@ Env overrides: TB_STEPS (timed steps, default 30), TB_BLOCKS,
 TB_CHANNELS, TB_BATCH, TB_PATCH, TB_SCALE, TB_PHASES
 (comma list out of {pretrain,gan,qat}; default "pretrain,gan"),
 TB_PROFILE (jax.profiler trace dir around the timed steps),
-TB_ACCUM / TB_UNROLL=1 / TB_REMAT=1 (--grad_accum / --unroll_body /
---remat for memory-vs-speed studies).
+TB_ACCUM / TB_UNROLL=1 / TB_REMAT=1 / TB_FOLD_TRAIN=1 (--grad_accum /
+--unroll_body / --remat / --fold_train for memory-vs-speed studies).
 """
 
 import dataclasses

@@ -281,9 +281,10 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
                    "(+5% measured at flagship; ~1min one-time compile)")
     _add_bool_flag(g, "fold_train", d.fold_train,
                    "train through the differentiable folded upsampler "
-                   "(~+30% step rate at flagship; patch borders see the "
-                   "fold's one-shot zero padding instead of per-stage "
-                   "padding — interior semantics identical)")
+                   "(+21%% pretrain / +17%% GAN steps/s measured at "
+                   "flagship; patch borders see the fold's one-shot "
+                   "zero padding instead of per-stage padding — "
+                   "interior semantics identical)")
     _add_bool_flag(g, "fold", d.fold,
                    "fold the linear upsampler+out chain into one conv "
                    "at inference (tiled modes; exact on the interior)")

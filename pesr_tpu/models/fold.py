@@ -323,6 +323,46 @@ def fold_generator_params(params: Dict[str, Any], scale: int
     }
 
 
+def _bias_conv(x: jnp.ndarray, p: Dict[str, Any], padding,
+               dtype) -> jnp.ndarray:
+    """conv + bias in ``dtype`` (NHWC/HWIO), shared by every folded
+    apply in this module."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), jnp.asarray(p["kernel"]).astype(dtype),
+        (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + jnp.asarray(p["bias"]).astype(dtype)
+
+
+def _make_trunk(res_scale: float, dtype, relu_fn=None,
+                remat: bool = False, unroll=1) -> Callable:
+    """The shared head -> scanned residual body -> tail+skip trunk over a
+    CANONICAL-layout params tree (stacked ``body/block`` weights), used
+    by both the inference fold (make_folded_apply) and the training fold
+    (make_fold_train_apply) so the two cannot drift.  ``relu_fn``
+    defaults to plain max(x, 0); training passes the output-keyed-VJP
+    variant.  Returns ``trunk(params, x) -> pre-upsampler tensor``."""
+    if relu_fn is None:
+        relu_fn = lambda v: jnp.maximum(v, 0.0)  # noqa: E731
+
+    def trunk(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(dtype)
+        head = _bias_conv(x, p["head"], "SAME", dtype)
+        blk = p["body"]["block"]
+
+        def body_fn(carry, per_block):
+            c1, c2 = per_block
+            y = relu_fn(_bias_conv(carry, c1, "SAME", dtype))
+            y = _bias_conv(y, c2, "SAME", dtype)
+            return carry + jnp.asarray(res_scale, dtype) * y, None
+
+        fn = jax.checkpoint(body_fn) if remat else body_fn
+        y, _ = jax.lax.scan(fn, head, (blk["conv1"], blk["conv2"]),
+                            unroll=unroll)
+        return _bias_conv(y, p["tail"], "SAME", dtype) + head
+
+    return trunk
+
+
 def make_folded_apply(scale: int, res_scale: float = 0.1,
                       dtype=jnp.bfloat16,
                       pads: Tuple[int, int] = None) -> Callable:
@@ -338,30 +378,12 @@ def make_folded_apply(scale: int, res_scale: float = 0.1,
             "pop the '_pads' entry from fold_generator_params(...) and "
             "pass it, or use folded_inference() which does both")
     s = scale
-
-    def _conv(x, p, padding):
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype), jnp.asarray(p["kernel"]).astype(dtype),
-            (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + jnp.asarray(p["bias"]).astype(dtype)
+    run_trunk = _make_trunk(res_scale, dtype)
 
     def _trunk(variables: Any, x: jnp.ndarray) -> jnp.ndarray:
         p = variables["params"]
-        x = x.astype(dtype)
-        head = _conv(x, p["head"], "SAME")
-
-        blk = p["body"]["block"]
-
-        def body_fn(carry, per_block):
-            c1, c2 = per_block
-            y = jnp.maximum(_conv(carry, c1, "SAME"), 0.0)
-            y = _conv(y, c2, "SAME")
-            return carry + jnp.asarray(res_scale, dtype) * y, None
-
-        y, _ = jax.lax.scan(body_fn, head, (blk["conv1"], blk["conv2"]))
-        y = _conv(y, p["tail"], "SAME") + head
-
-        return _conv(y, p["upfold"], (pads, pads))
+        y = run_trunk(p, x)
+        return _bias_conv(y, p["upfold"], (pads, pads), dtype)
 
     def apply(variables: Any, x: jnp.ndarray) -> jnp.ndarray:
         return pixel_shuffle(_trunk(variables, x), s).astype(jnp.float32)
@@ -428,12 +450,6 @@ def make_fold_train_apply(scale: int, res_scale: float = 0.1,
               "64-conv body poorly next to the fold einsums).  Honoring "
               "the flag, but prefer dropping it here.")
 
-    def _conv(x, p, padding="SAME"):
-        y = jax.lax.conv_general_dilated(
-            x, jnp.asarray(p["kernel"]).astype(dtype), (1, 1), padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + jnp.asarray(p["bias"]).astype(dtype)
-
     # bf16 training folds at DEFAULT precision: the composite-kernel
     # rounding (~0.4% relative) is the same order as the bf16 rounding
     # every conv input in this forward already gets, and HIGHEST costs
@@ -441,26 +457,18 @@ def make_fold_train_apply(scale: int, res_scale: float = 0.1,
     # keeps the exact fold.
     fold_precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
                       else jax.lax.Precision.DEFAULT)
+    run_trunk = _make_trunk(res_scale, dtype, relu_fn=_relu_save_output,
+                            remat=remat, unroll=True if unroll else 1)
 
     def apply(variables: Any, x: jnp.ndarray) -> jnp.ndarray:
         p = variables["params"]
+        # scale 1 has no upsampler module — the "fold" is the out conv.
         kernel, bias, pads = analytic_fold_upsampler(
-            p["upsampler"], p["out"], scale, precision=fold_precision)
-        x = x.astype(dtype)
-        head = _conv(x, p["head"])
-        blk = p["body"]["block"]
-
-        def body_fn(carry, per_block):
-            c1, c2 = per_block
-            y = _relu_save_output(_conv(carry, c1))
-            y = _conv(y, c2)
-            return carry + jnp.asarray(res_scale, dtype) * y, None
-
-        fn = jax.checkpoint(body_fn) if remat else body_fn
-        y, _ = jax.lax.scan(fn, head, (blk["conv1"], blk["conv2"]),
-                            unroll=True if unroll else 1)
-        y = _conv(y, p["tail"]) + head
-        y = _conv(y, {"kernel": kernel, "bias": bias}, (pads, pads))
+            p.get("upsampler", {}), p["out"], scale,
+            precision=fold_precision)
+        y = run_trunk(p, x)
+        y = _bias_conv(y, {"kernel": kernel, "bias": bias}, (pads, pads),
+                       dtype)
         return pixel_shuffle(y, s).astype(jnp.float32)
 
     # The loop's self-validation runs this apply through the tiling

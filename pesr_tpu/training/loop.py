@@ -179,8 +179,9 @@ def run_training(opts: Opts) -> Dict[str, float]:
         print("generator apply: fused Pallas kernels (--use_pallas)")
     elif opts.fold_train and opts.phase != "qat":
         # Differentiable folded upsampler (models/fold.py): same params
-        # tree, ~+30% step rate at the flagship recipe; QAT keeps its
-        # fake-quant apply (it simulates the int8 INFERENCE graph).
+        # tree, +21% pretrain / +17% GAN steps/s at the flagship recipe;
+        # QAT keeps its fake-quant apply (it simulates the int8
+        # INFERENCE graph).
         from pesr_tpu.models.fold import make_fold_train_apply
         g_state = g_state.replace(apply_fn=make_fold_train_apply(
             opts.scale, opts.res_scale, _dtype(opts.compute_dtype),

@@ -341,6 +341,22 @@ def test_fold_train_variants_identical():
     assert base.min_halo == fold_min_halo(scale)
 
 
+def test_fold_train_scale1_no_upsampler():
+    """Review regression: a scale-1 Generator has no 'upsampler' params
+    entry; the train fold must degrade to the bare out conv instead of
+    KeyError'ing, and match the reference forward on the interior."""
+    from pesr_tpu.models.fold import make_fold_train_apply
+
+    gen = _gen(1)
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    fold_apply = make_fold_train_apply(1, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (1, 9, 9, 3)), jnp.float32)
+    got = np.asarray(fold_apply(variables, x))
+    ref = np.asarray(gen.apply(variables, x))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 def test_fold_train_pretrain_step_learns():
     """make_pretrain_step with the fold_train apply: the loss decreases
     and the updated params stay finite — the end-to-end opt-in path."""
