@@ -194,12 +194,18 @@ def _qconv(x_bf16: jnp.ndarray, qp: Dict[str, Any],
     """Static-scale int8 conv: bf16 in, bf16 out, int8 MXU inside."""
     xq = jnp.clip(jnp.round(x_bf16.astype(jnp.float32) * qp["qin"]),
                   -127, 127).astype(jnp.int8)
-    acc = jax.lax.conv_general_dilated(
-        xq, qp["w_q"], (1, 1), padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
+    acc = _conv_int8(xq, qp["w_q"], padding)
     return (acc.astype(jnp.float32) * qp["m"]
             + qp["bias"]).astype(jnp.bfloat16)
+
+
+def _conv_int8(xq: jnp.ndarray, w_q: jnp.ndarray,
+               padding="SAME") -> jnp.ndarray:
+    """int8 x int8 -> int32 conv on the int8 MXU."""
+    return jax.lax.conv_general_dilated(
+        xq, w_q, (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
 
 
 def make_int8_apply(scale: int, res_scale: float = 0.1,
@@ -223,8 +229,28 @@ def make_int8_apply(scale: int, res_scale: float = 0.1,
 
         def body_fn(carry, per_block):
             c1, c2 = per_block
-            y = jnp.maximum(_qconv(carry, c1), 0)
-            y = _qconv(y, c2)
+            # Fused requant on the conv1 -> conv2 link: conv1's dequant
+            # multiplier (per-OUTPUT-channel m1) and conv2's input quant
+            # scale (per-INPUT-channel qin2) live on the SAME channel
+            # axis, so one per-channel vector m1*qin2 takes conv1's
+            # int32 accumulator straight to conv2's int8 input — the
+            # bf16 activation between them (a full-tensor multiply +
+            # two casts per block) never materializes.  ReLU commutes
+            # with the positive per-channel scale, and rounding once in
+            # f32 (instead of bf16-cast then round) only REMOVES a
+            # rounding step.  Only this in-block link can fuse: the
+            # residual carry needs real-unit bf16 values.
+            xq1 = jnp.clip(
+                jnp.round(carry.astype(jnp.float32) * c1["qin"]),
+                -127, 127).astype(jnp.int8)
+            acc1 = _conv_int8(xq1, c1["w_q"])
+            t = (acc1.astype(jnp.float32) * (c1["m"] * c2["qin"])
+                 + c1["bias"] * c2["qin"])
+            xq2 = jnp.clip(jnp.round(jnp.maximum(t, 0.0)),
+                           -127, 127).astype(jnp.int8)
+            acc2 = _conv_int8(xq2, c2["w_q"])
+            y = (acc2.astype(jnp.float32) * c2["m"]
+                 + c2["bias"]).astype(jnp.bfloat16)
             return carry + jnp.asarray(res_scale, jnp.bfloat16) * y, None
 
         # Fully unrolled body: the scan boundary stopped XLA from
