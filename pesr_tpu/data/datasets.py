@@ -104,6 +104,39 @@ class SyntheticImages:
         return self._cache[idx]
 
 
+class NaturalImages:
+    """The curated registry of REAL photographs shipped inside installed
+    packages (pesr_tpu.metrics.natural_images) as a dataset source — the
+    only natural-image corpus available on a zero-egress machine.
+
+    Eval is the primary use (``--test_dataset natural``: genuine
+    photographic content for PSNR/SSIM, vs the procedural ``synthetic``
+    corpus), with training/fine-tuning possible on the same images.
+    ``include_holdout`` adds the never-fitted holdout photo; training
+    keeps it out so it stays unseen by BOTH the metric models and the
+    network (PI numbers on fitted images are in-sample for the NIQE/Ma
+    models — demo/README.md carries the caveat).
+    """
+
+    def __init__(self, include_holdout: bool = False) -> None:
+        from pesr_tpu.metrics.natural_images import load_natural_images
+        self._images = load_natural_images(include_holdout=include_holdout)
+        if not self._images:
+            raise FileNotFoundError(
+                "no natural images available — the curated source "
+                "packages (sklearn/matplotlib/gymnasium_robotics/...) "
+                "are not installed on this machine")
+
+    def __len__(self) -> int:
+        return len(self._images)
+
+    def name(self, idx: int) -> str:
+        return self._images[idx][0]
+
+    def get(self, idx: int) -> np.ndarray:
+        return self._images[idx][1]
+
+
 class PairedImageFolder:
     """HR image dir with optional aligned LR dir (DIV2K layout).
 
@@ -317,6 +350,10 @@ def _resolve_train_source(opts) -> object:
     name = opts.train_dataset.lower()
     if name == "synthetic":
         return SyntheticImages(num_images=32, seed=opts.seed)
+    if name == "natural":
+        # Real-photo fine-tuning corpus; the metric holdout photo stays
+        # out of training so it is unseen by models AND metrics.
+        return NaturalImages(include_holdout=False)
     # DIV2K disk layout: <root>/DIV2K/DIV2K_train_HR +
     # DIV2K_train_LR_bicubic/X<scale>; fall back to <root>/<name> as a
     # plain HR folder.
@@ -458,10 +495,13 @@ def load_eval_set(opts, dataset: Optional[str] = None,
     """
     name = dataset or opts.test_dataset
     samples: List[EvalSample] = []
-    if name.lower() == "synthetic":
-        src = SyntheticImages(num_images=max_images or 5,
-                              seed=opts.seed + 1)
-        for i in range(len(src)):
+    if name.lower() in ("synthetic", "natural"):
+        src = (SyntheticImages(num_images=max_images or 5,
+                               seed=opts.seed + 1)
+               if name.lower() == "synthetic"
+               else NaturalImages(include_holdout=True))
+        n = len(src) if max_images is None else min(len(src), max_images)
+        for i in range(n):
             hr = src.get(i)
             lr = host_bicubic_downsample(hr, opts.scale)
             h, w = lr.shape[:2]

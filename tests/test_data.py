@@ -220,3 +220,34 @@ def test_prefetcher_reraises_worker_error_repeatedly():
         with _pytest.raises(RuntimeError, match="decode failed"):
             next(p)
     p.close()
+
+
+def test_load_eval_set_natural_real_photos():
+    """--test_dataset natural: the curated real-photo registry loads as
+    a reference-based eval set (HR = the photo, LR = MATLAB-bicubic),
+    including the metric-holdout photo."""
+    opts = Opts(test_dataset="natural", scale=4)
+    samples = load_eval_set(opts, max_images=3)
+    assert len(samples) == 3
+    for s in samples:
+        assert s.hr is not None
+        assert s.hr.shape[0] == s.lr.shape[0] * 4
+        assert s.hr.dtype == np.uint8 and s.lr.dtype == np.uint8
+    assert samples[0].name == "china"
+
+
+def test_natural_train_source_excludes_holdout():
+    """--train_dataset natural: training samples real photos but never
+    the metric-holdout image (it must stay unseen by models AND
+    metrics)."""
+    from pesr_tpu.data.datasets import NaturalImages, _resolve_train_source
+
+    src = _resolve_train_source(Opts(train_dataset="natural"))
+    assert isinstance(src, NaturalImages)
+    names = {src.name(i) for i in range(len(src))}
+    assert "camera_rgb" not in names
+    assert len(names) >= 10
+    # Patch sampling works on the smallest registered photo.
+    it = PatchIterator(src, patch_size=48, scale=4, batch_size=2, seed=0)
+    lr, hr = next(it)
+    assert lr is None and hr.shape == (2, 192, 192, 3)
