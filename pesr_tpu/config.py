@@ -66,6 +66,12 @@ class Opts:
     # train set (reference epoch semantics: DIV2K 800 x 20 / 16 = 1000).
     steps_per_epoch: int = 0
     seed: int = 0
+    ema_decay: float = 0.0        # 0 = off; e.g. 0.999: keep an EMA of
+                                  # the generator params inside the
+                                  # jitted step — eval/best-ckpt/serving
+                                  # use the EMA weights (the standard
+                                  # perceptual-SR stabilizer; ESRGAN
+                                  # lineage, PAPERS.md)
 
     # --- GAN losses (SURVEY.md §2 item 6) ---
     gan_type: str = "RSGAN"       # RSGAN | RaSGAN | RaLSGAN | LSGAN | GAN
@@ -106,6 +112,10 @@ class Opts:
     self_ensemble: bool = False   # x8 geometric TTA at inference
     export_artifact: str = ""     # write an AOT serving bundle
                                   # (pesr_tpu/serving.py) and exit
+    interp_model: str = ""        # second checkpoint for network
+                                  # interpolation (ESRGAN §4.4):
+                                  # params = (1-a)*model_path + a*this
+    interp_alpha: float = 0.5     # blend factor a in [0,1]
 
     # --- TPU-native knobs (new; SURVEY.md §7) ---
     compute_dtype: str = "bfloat16"   # activations/conv compute dtype
@@ -219,6 +229,11 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
                             " * num_repeats / batch_size), the reference"
                             " epoch semantics")
         g.add_argument("--seed", type=int, default=d.seed)
+        g.add_argument("--ema_decay", type=float, default=d.ema_decay,
+                       help="exponential-moving-average decay for the "
+                            "generator params (0 = off; e.g. 0.999). "
+                            "Eval, best-checkpoint, and inference use "
+                            "the EMA weights")
 
         g = p.add_argument_group("losses")
         g.add_argument("--gan_type", type=str, default=d.gan_type,
@@ -262,6 +277,15 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
                        help="write a hermetic AOT serving bundle "
                             "(jax.export; fixed shape = first eval "
                             "batch) to this path and exit")
+        g.add_argument("--interp_model", type=str, default=d.interp_model,
+                       help="network interpolation (ESRGAN-style): blend "
+                            "this checkpoint's params into --model_path's "
+                            "as (1-a)*base + a*this before inference")
+        g.add_argument("--interp_alpha", type=float,
+                       default=d.interp_alpha,
+                       help="blend factor a in [0,1]: 0 = pure "
+                            "--model_path (PSNR model), 1 = pure "
+                            "--interp_model (GAN model)")
 
     g = p.add_argument_group("tpu")
     g.add_argument("--compute_dtype", type=str, default=d.compute_dtype,

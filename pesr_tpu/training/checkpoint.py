@@ -40,7 +40,8 @@ def latest_step_dir(ckpt_dir: str) -> Optional[str]:
 
 
 def _payload(step: int, g_state: Any, d_state: Any,
-             best_psnr: Optional[float]) -> dict:
+             best_psnr: Optional[float],
+             ema_params: Any = None) -> dict:
     from flax import serialization
 
     payload = {
@@ -52,12 +53,20 @@ def _payload(step: int, g_state: Any, d_state: Any,
             serialization.to_state_dict(d_state))
     if best_psnr is not None:
         payload["best_psnr"] = np.asarray(best_psnr)
+    if ema_params is not None:
+        # EMA of the generator params (--ema_decay): the SERVING weights.
+        # Stored alongside the raw training params so --resume continues
+        # the average and inference loads prefer it (restore_generator_
+        # params).
+        payload["ema"] = jax.device_get(
+            serialization.to_state_dict(ema_params))
     return payload
 
 
 def save_train_ckpt(ckpt_dir: str, step: int, g_state: Any,
                     d_state: Any = None,
-                    best_psnr: Optional[float] = None) -> str:
+                    best_psnr: Optional[float] = None,
+                    ema_params: Any = None) -> str:
     """Write one step directory: {g: <state dict>, d: <state dict>,
     step, best_psnr}.
 
@@ -77,20 +86,23 @@ def save_train_ckpt(ckpt_dir: str, step: int, g_state: Any,
     (round-3 advisor)."""
     path = os.path.join(_to_abs(ckpt_dir), f"step_{step}")
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, _payload(step, g_state, d_state, best_psnr),
+        ckptr.save(path,
+                   _payload(step, g_state, d_state, best_psnr, ema_params),
                    force=True)
     return path
 
 
 def save_best_ckpt(ckpt_dir: str, step: int, g_state: Any,
                    d_state: Any = None,
-                   best_psnr: Optional[float] = None) -> str:
+                   best_psnr: Optional[float] = None,
+                   ema_params: Any = None) -> str:
     """Overwrite the experiment's ``best`` checkpoint (best-validation
     copy the reference keeps alongside snapshots, SURVEY.md §5.4).
     Restorable through the same step-dir readers via its path."""
     path = os.path.join(_to_abs(ckpt_dir), "best")
     with ocp.PyTreeCheckpointer() as ckptr:  # collective; see save_train_ckpt
-        ckptr.save(path, _payload(step, g_state, d_state, best_psnr),
+        ckptr.save(path,
+                   _payload(step, g_state, d_state, best_psnr, ema_params),
                    force=True)
     return path
 
@@ -141,10 +153,49 @@ def restore_payload(path: str) -> Any:
         return ckptr.restore(_resolve(path))
 
 
-def restore_generator_params(path: str) -> Tuple[Any, int]:
-    """Restore just generator params (+ step) — the test.py path."""
+def restore_generator_params(path: str,
+                              prefer_ema: bool = True) -> Tuple[Any, int]:
+    """Restore just generator params (+ step) — the test.py path.
+
+    Checkpoints written with ``--ema_decay`` carry an ``ema`` tree (the
+    exponential moving average of the generator params); that is the
+    intended serving model, so it is preferred by default.  Pass
+    ``prefer_ema=False`` for the raw last-step training params."""
     payload = restore_payload(path)
-    return payload["g"]["params"], int(payload["step"])
+    params = payload["g"]["params"]
+    if prefer_ema and payload.get("ema") is not None:
+        params = payload["ema"]
+    return params, int(payload["step"])
+
+
+def restore_ema_params(path: str, template: Any) -> Optional[Any]:
+    """Restore the EMA params tree onto ``template`` (a params pytree),
+    or None when the checkpoint predates ``--ema_decay`` — the caller
+    then re-seeds the average from the restored raw params."""
+    from flax import serialization
+
+    payload = restore_payload(path)
+    if payload.get("ema") is None:
+        return None
+    return serialization.from_state_dict(template, payload["ema"])
+
+
+def interpolate_params(base: Any, other: Any, alpha: float) -> Any:
+    """Network interpolation (ESRGAN §4.4): ``(1-a)*base + a*other``.
+
+    Blending a PSNR-oriented (L1-pretrained) generator with its GAN
+    fine-tune in PARAMETER space traces a smooth perception-distortion
+    curve without retraining — the standard way to pick an operating
+    point on the PI-vs-PSNR trade.  Callers validate both trees against
+    the model first (validate_params_compat) — tree_map only catches
+    STRUCTURE mismatches, and numpy would silently broadcast a shape
+    mismatch."""
+    a = float(alpha)
+    return jax.tree_util.tree_map(
+        lambda p, q: ((1.0 - a) * np.asarray(p, np.float32)
+                      + a * np.asarray(q, np.float32)).astype(
+                          np.asarray(p).dtype),
+        base, other)
 
 
 def validate_params_compat(expected: Any, restored: Any,

@@ -244,6 +244,26 @@ def run_training(opts: Opts) -> Dict[str, float]:
         print(f"resumed from {opts.check_point} at step {start_step}"
               + (f" (best_psnr {best_psnr:.2f})" if best_psnr else ""))
 
+    # --ema_decay: maintain an EMA of the generator params inside the
+    # jitted step; eval/best-ckpt/inference use the averaged weights
+    # (the GAN-SR serving convention).  jnp.copy, not an alias: the step
+    # donates BOTH the train state and the EMA tree, and aliased buffers
+    # cannot be donated twice.
+    use_ema = opts.ema_decay > 0.0
+    ema_params = None
+    if use_ema:
+        if opts.resume:
+            ema_params = ckpt.restore_ema_params(opts.check_point,
+                                                 g_state.params)
+            if ema_params is None:
+                print("[ema] checkpoint has no EMA tree — re-seeding "
+                      "the average from the restored params")
+        if ema_params is None:
+            ema_params = jax.tree_util.tree_map(jnp.copy, g_state.params)
+        ema_params = shard_pytree_replicated(mesh, ema_params)
+        print(f"EMA of generator params enabled "
+              f"(decay {opts.ema_decay})")
+
     if start_step:
         # Resume must continue on fresh batches and fresh augmentation
         # randomness; the data stream folds start_step into its seed
@@ -279,8 +299,9 @@ def run_training(opts: Opts) -> Dict[str, float]:
     # signal translated to KeyboardInterrupt) checkpoints before exiting,
     # so --resume continues from the interrupted step, not the last
     # scheduled snapshot.
-    locals_box = {"g": g_state, "d": d_state, "step": global_step,
-                  "t_window": t_window, "best_psnr": best_psnr}
+    locals_box = {"g": g_state, "d": d_state, "ema": ema_params,
+                  "step": global_step, "t_window": t_window,
+                  "best_psnr": best_psnr}
     try:
         _train_epochs(
             opts, mesh, rng, step_fn, prep, train_iter, logger, pending,
@@ -302,7 +323,8 @@ def run_training(opts: Opts) -> Dict[str, float]:
                 path = ckpt.save_train_ckpt(
                     opts.check_point, locals_box["step"],
                     locals_box["g"], locals_box["d"],
-                    best_psnr=locals_box.get("best_psnr"))
+                    best_psnr=locals_box.get("best_psnr"),
+                    ema_params=locals_box.get("ema"))
                 print(f"\n[interrupt] checkpoint saved to {path}; resume "
                       f"with --resume --check_point {opts.check_point}")
             except Exception as e:  # deleted/donated arrays
@@ -348,6 +370,7 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
     """Epoch/step loops; live state is threaded through ``box`` so the
     interrupt handler in run_training can checkpoint it."""
     g_state, d_state = box["g"], box["d"]
+    ema_params = box["ema"]          # not-None iff --ema_decay > 0
     global_step = box["step"]
     t_window = box["t_window"]
     start_epoch = start_step // max(opts.steps_per_epoch, 1)
@@ -371,13 +394,23 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
 
             if gan_phase:
                 rng, gp_key = jax.random.split(rng)
-                g_state, d_state, metrics = step_fn(
-                    g_state, d_state, vgg_params, lr_img, hr_img, gp_key)
+                if ema_params is not None:
+                    g_state, d_state, ema_params, metrics = step_fn(
+                        g_state, d_state, vgg_params, ema_params,
+                        lr_img, hr_img, gp_key)
+                else:
+                    g_state, d_state, metrics = step_fn(
+                        g_state, d_state, vgg_params, lr_img, hr_img,
+                        gp_key)
+            elif ema_params is not None:
+                g_state, ema_params, metrics = step_fn(
+                    g_state, ema_params, lr_img, hr_img)
             else:
                 g_state, metrics = step_fn(g_state, lr_img, hr_img)
 
             global_step += 1
-            box.update(g=g_state, d=d_state, step=global_step)
+            box.update(g=g_state, d=d_state, ema=ema_params,
+                       step=global_step)
             if (global_step - start_step - 1 in profile_at
                     and global_step - start_step - 1 == max(profile_at)):
                 jax.tree_util.tree_map(
@@ -423,8 +456,12 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                       f"{err or 'eval set missing on another host'}")
             else:
                 try:
+                    # --ema_decay: validate the AVERAGED weights — they
+                    # are what best-ckpt saves and inference serves.
                     val = evaluate(
-                        opts, g_state.apply_fn, g_state.params,
+                        opts, g_state.apply_fn,
+                        ema_params if ema_params is not None
+                        else g_state.params,
                         tiler=eval_tiler, samples=box["eval_samples"],
                         compute_pi=opts.eval_pi)
                     logger.log(global_step, val, prefix="val")
@@ -439,7 +476,8 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                         path = ckpt.save_best_ckpt(opts.check_point,
                                                    global_step, g_state,
                                                    d_state,
-                                                   best_psnr=val_psnr)
+                                                   best_psnr=val_psnr,
+                                                   ema_params=ema_params)
                         print(f"[ckpt] new best val_psnr="
                               f"{val_psnr:.2f} -> {path}")
                         summary["best_psnr"] = val_psnr
@@ -455,7 +493,8 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                 or epoch + 1 == opts.num_epochs:
             path = ckpt.save_train_ckpt(opts.check_point, global_step,
                                         g_state, d_state,
-                                        best_psnr=box.get("best_psnr"))
+                                        best_psnr=box.get("best_psnr"),
+                                        ema_params=ema_params)
             print(f"[ckpt] saved {path}")
         # Eval + checkpointing above can take tens of seconds; reset the
         # throughput window so the first steps_per_s/mpx_per_s sample of

@@ -34,6 +34,18 @@ def _psnr_from_mse(mse: jnp.ndarray) -> jnp.ndarray:
     return -10.0 * jnp.log10(jnp.maximum(mse / 4.0, 1e-12))
 
 
+def ema_update(ema, params, decay: float):
+    """One EMA step: ``ema += (1-decay) * (params - ema)`` per leaf.
+
+    ``decay`` is a Python float closed over at trace time (constant in
+    the compiled step — no host->device scalar per step).  Initialize
+    ``ema = params`` (no zero-init bias correction needed; the standard
+    GAN-SR convention, ESRGAN lineage)."""
+    rate = 1.0 - float(decay)
+    return jax.tree_util.tree_map(
+        lambda e, p: e + rate * (p.astype(e.dtype) - e), ema, params)
+
+
 def _microbatches(x: jnp.ndarray, accum: int) -> jnp.ndarray:
     """[B, ...] -> [accum, B/accum, ...] for ``lax.scan``.
 
@@ -93,10 +105,15 @@ def make_pretrain_step(opts: Opts) -> Callable[
     whose grads are averaged before the single optimizer update —
     numerically the full-batch step (pixel losses are per-sample means,
     so mean-of-microbatch-means == batch mean), at ~1/A the activation
-    memory.  Pinned by tests/test_grad_accum.py."""
-    accum = max(1, int(getattr(opts, "grad_accum", 1)))
+    memory.  Pinned by tests/test_grad_accum.py.
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    With ``--ema_decay > 0`` the step takes and returns an EMA params
+    tree as a second argument: ``step(g_state, ema, lr, hr) ->
+    (g_state, ema, metrics)`` — the EMA update rides inside the same
+    XLA program (one fused axpy over the params, no extra dispatch)."""
+    accum = max(1, int(getattr(opts, "grad_accum", 1)))
+    ema_decay = float(getattr(opts, "ema_decay", 0.0))
+
     def step(g_state: GanTrainState, lr_img: jnp.ndarray,
              hr_img: jnp.ndarray) -> Tuple[GanTrainState, Metrics]:
         def loss_fn(params, lr_mb, hr_mb):
@@ -122,7 +139,17 @@ def make_pretrain_step(opts: Opts) -> Callable[
         g_state = g_state.apply_gradients(grads=grads)
         return g_state, {"l1": l1, "psnr": _psnr_from_mse(mse)}
 
-    return step
+    if ema_decay > 0.0:
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step_with_ema(g_state: GanTrainState, ema,
+                          lr_img: jnp.ndarray, hr_img: jnp.ndarray):
+            g_state, metrics = step(g_state, lr_img, hr_img)
+            return (g_state, ema_update(ema, g_state.params, ema_decay),
+                    metrics)
+
+        return step_with_ema
+
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def make_gan_step(opts: Opts, d_apply: Callable, vgg_apply: Callable,
@@ -134,6 +161,10 @@ def make_gan_step(opts: Opts, d_apply: Callable, vgg_apply: Callable,
     ``d_apply(params, imgs) -> logits``; ``vgg_apply(params, imgs) ->
     features`` (ignored when ``alpha_vgg == 0``, e.g. before converted
     VGG weights exist — SURVEY.md §7 hard-parts item 1).
+
+    With ``--ema_decay > 0`` the step takes and returns the generator
+    EMA tree: ``step(g, d, vgg, ema, lr, hr, rng) -> (g, d, ema,
+    metrics)``.
     """
     fns = losses.gan_losses(
         opts.gan_type, opts.fl_gamma if opts.focal_loss else 0.0)
@@ -150,8 +181,8 @@ def make_gan_step(opts: Opts, d_apply: Callable, vgg_apply: Callable,
     # divergence is bounded-small (tests/test_grad_accum.py) and the
     # L1 pretrain phase remains exact.  Documented in docs/FLAGS.md.
     accum = max(1, int(getattr(opts, "grad_accum", 1)))
+    ema_decay = float(getattr(opts, "ema_decay", 0.0))
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(g_state: GanTrainState, d_state: GanTrainState,
              vgg_params: Any, lr_img: jnp.ndarray, hr_img: jnp.ndarray,
              rng: jax.Array) -> Tuple[GanTrainState, GanTrainState, Metrics]:
@@ -252,4 +283,20 @@ def make_gan_step(opts: Opts, d_apply: Callable, vgg_apply: Callable,
                    "psnr": _psnr_from_mse(aux.pop("mse")), **aux}
         return g_state, d_state, metrics
 
-    return step
+    if ema_decay > 0.0:
+        # EMA rides in the same program: step(g, d, vgg, ema, lr, hr,
+        # rng) -> (g, d, ema, metrics).  The GAN phase is where EMA
+        # earns its keep — the adversarial updates oscillate and the
+        # averaged weights are the serving model (ESRGAN lineage).
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 3))
+        def step_with_ema(g_state: GanTrainState, d_state: GanTrainState,
+                          vgg_params: Any, ema, lr_img: jnp.ndarray,
+                          hr_img: jnp.ndarray, rng: jax.Array):
+            g_state, d_state, metrics = step(
+                g_state, d_state, vgg_params, lr_img, hr_img, rng)
+            return (g_state, d_state,
+                    ema_update(ema, g_state.params, ema_decay), metrics)
+
+        return step_with_ema
+
+    return jax.jit(step, donate_argnums=(0, 1))

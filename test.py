@@ -45,25 +45,46 @@ def main(argv=None) -> int:
                          "--mesh_axis tiles exports)")
     gen = build_generator(opts)
 
+    def _load_params(path, expected):
+        """One checkpoint -> validated params (torch .pth or orbax dir;
+        orbax checkpoints written with --ema_decay load their EMA
+        weights — the serving model)."""
+        if path.endswith((".pt", ".pth")):
+            # Reference torch checkpoints load directly (SURVEY.md §5.4
+            # torch->JAX converter; BASELINE.json:5 output parity).
+            from pesr_tpu.convert import load_generator_weights
+            p = load_generator_weights(
+                path, expected["params"], opts.num_blocks, opts.scale)
+            print(f"converted torch generator from {path}")
+            return p
+        p, step = ckpt.restore_generator_params(path)
+        ckpt.validate_params_compat(expected["params"], p)
+        print(f"loaded generator at step {step} from {path}")
+        return p
+
     if opts.model_path:
         import jax
         import jax.numpy as jnp
         expected = jax.eval_shape(
             lambda: gen.init(jax.random.key(0),
                              jnp.zeros((1, 8, 8, opts.img_channels))))
-        if opts.model_path.endswith((".pt", ".pth")):
-            # Reference torch checkpoints load directly (SURVEY.md §5.4
-            # torch->JAX converter; BASELINE.json:5 output parity).
-            from pesr_tpu.convert import load_generator_weights
-            params = load_generator_weights(
-                opts.model_path, expected["params"], opts.num_blocks,
-                opts.scale)
-            print(f"converted torch generator from {opts.model_path}")
-        else:
-            params, step = ckpt.restore_generator_params(opts.model_path)
-            ckpt.validate_params_compat(expected["params"], params)
-            print(f"loaded generator at step {step} from "
-                  f"{opts.model_path}")
+        params = _load_params(opts.model_path, expected)
+        if opts.interp_model:
+            # Network interpolation (ESRGAN §4.4): blend the PSNR model
+            # (--model_path) toward the GAN model (--interp_model) in
+            # parameter space — a continuous PI-vs-PSNR dial with no
+            # retraining (demo/README.md has a measured sweep).
+            if not 0.0 <= opts.interp_alpha <= 1.0:
+                raise SystemExit(f"--interp_alpha {opts.interp_alpha} "
+                                 "outside [0, 1]")
+            other = _load_params(opts.interp_model, expected)
+            params = ckpt.interpolate_params(params, other,
+                                             opts.interp_alpha)
+            print(f"network interpolation: (1-a)*base + a*interp, "
+                  f"a={opts.interp_alpha}")
+    elif opts.interp_model:
+        raise SystemExit("--interp_model needs --model_path (the base "
+                         "PSNR-oriented checkpoint) to blend into")
     else:
         # Random init — exercises the full pipeline when no checkpoint
         # exists yet (this environment ships none; SURVEY.md §7).
