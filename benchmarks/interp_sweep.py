@@ -87,7 +87,9 @@ def main() -> int:
         print(f"[interp] {row}", flush=True)
         rows.append(row)
 
-    print(json.dumps({"base": args.base, "gan": args.gan,
+    # Committed artifacts stay machine-portable: repo-relative paths.
+    rel = lambda p: os.path.relpath(os.path.abspath(p), REPO)
+    print(json.dumps({"base": rel(args.base), "gan": rel(args.gan),
                       "sweep": rows}))
     return 0
 
