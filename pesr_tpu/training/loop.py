@@ -135,6 +135,40 @@ def evaluate_psnr(opts: Opts, g_apply, g_params,
     return metrics["val_psnr"]
 
 
+def configure_generator_apply(opts: Opts, g_state):
+    """Swap the generator train state's apply per the training knobs.
+
+    One function so the knob wiring (--use_pallas / --fold_train and
+    their interactions with --remat / --unroll_body) has a single
+    definition shared by run_training and the interaction-matrix test
+    (tests/test_knob_matrix.py).  The plain path's remat/unroll live in
+    the Generator module itself (build_generator)."""
+    if opts.use_pallas and opts.phase != "qat":
+        # Fused Pallas body/upsampler for TRAINING too: the kernels carry
+        # a custom_vjp (XLA-reference backward, remat-style), so swapping
+        # apply_fn is all it takes — grads match the XLA path
+        # (tests/test_pallas.py grad-parity tier).  QAT keeps its own
+        # fake-quant apply_fn.
+        if opts.fold_train:
+            raise ValueError("--use_pallas and --fold_train both replace "
+                             "the generator apply; pick one")
+        from pesr_tpu.models.pallas_apply import make_pallas_apply
+        g_state = g_state.replace(apply_fn=make_pallas_apply(
+            opts.scale, opts.res_scale, _dtype(opts.compute_dtype)))
+        print("generator apply: fused Pallas kernels (--use_pallas)")
+    elif opts.fold_train and opts.phase != "qat":
+        # Differentiable folded upsampler (models/fold.py): same params
+        # tree, +21% pretrain / +17% GAN steps/s at the flagship recipe;
+        # QAT keeps its fake-quant apply (it simulates the int8
+        # INFERENCE graph).
+        from pesr_tpu.models.fold import make_fold_train_apply
+        g_state = g_state.replace(apply_fn=make_fold_train_apply(
+            opts.scale, opts.res_scale, _dtype(opts.compute_dtype),
+            remat=opts.remat, unroll=getattr(opts, "unroll_body", False)))
+        print("generator apply: folded upsampler (--fold_train)")
+    return g_state
+
+
 def run_training(opts: Opts) -> Dict[str, float]:
     """Run the configured phase end-to-end; returns final summary."""
     if opts.steps_per_epoch <= 0:
@@ -164,29 +198,7 @@ def run_training(opts: Opts) -> Dict[str, float]:
         print(f"loaded pretrained generator (step {at_step}) "
               f"from {opts.pretrained_model}")
 
-    if opts.use_pallas and opts.phase != "qat":
-        # Fused Pallas body/upsampler for TRAINING too: the kernels carry
-        # a custom_vjp (XLA-reference backward, remat-style), so swapping
-        # apply_fn is all it takes — grads match the XLA path
-        # (tests/test_pallas.py grad-parity tier).  QAT keeps its own
-        # fake-quant apply_fn.
-        if opts.fold_train:
-            raise ValueError("--use_pallas and --fold_train both replace "
-                             "the generator apply; pick one")
-        from pesr_tpu.models.pallas_apply import make_pallas_apply
-        g_state = g_state.replace(apply_fn=make_pallas_apply(
-            opts.scale, opts.res_scale, _dtype(opts.compute_dtype)))
-        print("generator apply: fused Pallas kernels (--use_pallas)")
-    elif opts.fold_train and opts.phase != "qat":
-        # Differentiable folded upsampler (models/fold.py): same params
-        # tree, +21% pretrain / +17% GAN steps/s at the flagship recipe;
-        # QAT keeps its fake-quant apply (it simulates the int8
-        # INFERENCE graph).
-        from pesr_tpu.models.fold import make_fold_train_apply
-        g_state = g_state.replace(apply_fn=make_fold_train_apply(
-            opts.scale, opts.res_scale, _dtype(opts.compute_dtype),
-            remat=opts.remat, unroll=getattr(opts, "unroll_body", False)))
-        print("generator apply: folded upsampler (--fold_train)")
+    g_state = configure_generator_apply(opts, g_state)
 
     g_state = shard_pytree_replicated(mesh, g_state)
 
