@@ -133,6 +133,10 @@ class Opts:
                                       # one-time compile; identical
                                       # params/grads)
     fold_train: bool = False          # train through the folded upsampler
+                                      # (CLI defaults ON via opts_from_
+                                      # args — round-4 equivalence study;
+                                      # programmatic default stays
+                                      # explicit-off)
                                       # (differentiable analytic fold;
                                       # interior-exact, patch borders see
                                       # fold padding — models/fold.py
@@ -140,6 +144,14 @@ class Opts:
     fold: bool = True                 # folded upsampler at inference
                                       # (exact through tiling; models/fold.py)
     quant: str = "none"               # none | int8 (PTQ inference path)
+    quant_guard_db: float = 0.0       # >0: int8 quality guard — measure
+                                      # int8-vs-bf16 output agreement on
+                                      # the calibration tiles and fall
+                                      # back to bf16 (loud warning) when
+                                      # it lands under this floor; 55 is
+                                      # the stress-calibrated default
+                                      # floor (quant_apply.int8_
+                                      # inference_guarded)
     mesh_shape: str = ""              # e.g. "8" or "" = all local devices
     mesh_axis: str = "batch"          # multi-chip inference parallelism:
                                       # batch (DP) | tiles (spatial: N
@@ -303,18 +315,37 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
     _add_bool_flag(g, "unroll_body", d.unroll_body,
                    "unroll the residual-body scan in the train step "
                    "(+5% measured at flagship; ~1min one-time compile)")
-    _add_bool_flag(g, "fold_train", d.fold_train,
-                   "train through the differentiable folded upsampler "
-                   "(+21%% pretrain / +17%% GAN steps/s measured at "
-                   "flagship; patch borders see the fold's one-shot "
-                   "zero padding instead of per-stage padding — "
-                   "interior semantics identical)")
+    # CLI default: ON (resolved in opts_from_args) since the round-4
+    # flagship equivalence study measured 0.012 dB final-quality delta
+    # for +21% pretrain / +17% GAN steps/s
+    # (benchmarks/fold_train_study_r4.json); None = "user didn't say",
+    # letting the resolver step aside for --use_pallas/--unroll_body.
+    # The Opts dataclass default stays False: programmatic users
+    # (tests, benchmarks, library embedding) keep explicit control.
+    g.add_argument("--fold_train", dest="fold_train",
+                   action="store_true", default=None,
+                   help="train through the differentiable folded "
+                        "upsampler (+21%% pretrain / +17%% GAN steps/s "
+                        "measured at flagship; final quality within "
+                        "0.012 dB of the plain chain at flagship width "
+                        "— CLI default ON; patch borders see the "
+                        "fold's one-shot zero padding instead of "
+                        "per-stage padding, interior semantics "
+                        "identical)")
+    g.add_argument("--no_fold_train", dest="fold_train",
+                   action="store_false", help=argparse.SUPPRESS)
     _add_bool_flag(g, "fold", d.fold,
                    "fold the linear upsampler+out chain into one conv "
                    "at inference (tiled modes; exact on the interior)")
     g.add_argument("--quant", type=str, default=d.quant,
                    choices=["none", "int8"],
                    help="post-training-quantized inference path")
+    g.add_argument("--quant_guard_db", type=float,
+                   default=d.quant_guard_db,
+                   help="int8 quality guard: minimum int8-vs-bf16 "
+                        "output-agreement PSNR (dB) before falling "
+                        "back to bf16 with a warning (0 = off; 55 = "
+                        "stress-calibrated floor)")
     g.add_argument("--mesh_shape", type=str, default=d.mesh_shape)
     g.add_argument("--mesh_axis", type=str, default=d.mesh_axis,
                    choices=["batch", "tiles"],
@@ -333,6 +364,19 @@ def opts_from_args(argv: Optional[Tuple[str, ...]] = None,
     their defaults (test-mode parses no training flags and vice versa)."""
     ns = vars(build_parser(mode).parse_args(argv))
     ns["use_gp"] = ns.pop("GP", Opts.use_gp)
+    if ns.get("fold_train") is None:
+        # Unstated --fold_train: default ON (the measured free win),
+        # stepping aside for the two applies it conflicts with —
+        # --use_pallas replaces the same apply (configure_generator_
+        # apply raises on the explicit pair) and --unroll_body
+        # measured 2.6x SLOWER combined with the fold.
+        ns["fold_train"] = not (ns.get("use_pallas")
+                                or ns.get("unroll_body"))
+    elif ns["fold_train"] and ns.get("unroll_body"):
+        import sys as _sys
+        print("WARNING: --fold_train + --unroll_body measured 2.6x "
+              "slower than either alone (docs/FLAGS.md); combining "
+              "anyway as requested.", file=_sys.stderr)
     fields = {f.name for f in dataclasses.fields(Opts)}
     opts = Opts(**{k: v for k, v in ns.items() if k in fields})
     upsample_stages(opts.scale)  # fail fast at parse time on e.g. 5

@@ -11,6 +11,7 @@ throughput:
 Without datasets on disk: ``--dataset synthetic``.
 """
 
+import dataclasses
 import os
 import sys
 import time
@@ -102,10 +103,29 @@ def main(argv=None) -> int:
         # W8A8 with static per-channel scales, calibrated on the eval
         # set's own LR tiles (no labels needed) — models/quant_apply.py.
         from pesr_tpu.models.quant_apply import (default_calib_tiles,
-                                                 int8_inference)
+                                                 int8_inference,
+                                                 int8_inference_guarded)
         tiles = default_calib_tiles([s.lr for s in samples])
-        apply_fn, variables = int8_inference(params, opts.scale, tiles,
-                                             opts.res_scale)
+        if opts.quant_guard_db > 0:
+            # Quality guard (--quant_guard_db): agreement-checked int8
+            # with an automatic bf16 fallback.  Here calibration and
+            # probe tiles coincide (both from the eval set), so this
+            # guards pathological weights; serving deployments that
+            # calibrate offline should probe with SERVING tiles to
+            # also catch calibration distribution shift
+            # (tests/test_quant_stress.py).
+            apply_fn, variables, report = int8_inference_guarded(
+                params, opts.scale, tiles,
+                min_agreement_db=opts.quant_guard_db,
+                res_scale=opts.res_scale)
+            print(f"int8 quality guard: {report}")
+            if report["fallback"]:
+                # Keep the rest of the run honest about the precision
+                # actually served (artifact metadata, printed labels).
+                opts = dataclasses.replace(opts, quant="none")
+        else:
+            apply_fn, variables = int8_inference(params, opts.scale,
+                                                 tiles, opts.res_scale)
         print("using int8 W8A8 inference path (calibrated)")
     elif opts.use_pallas:
         from pesr_tpu.models.pallas_apply import make_pallas_apply
