@@ -60,22 +60,40 @@ class SyntheticImages:
     Deterministic per (seed, index); statistics are natural-image-ish
     enough to exercise training/eval (bicubic-downsamplable structure at
     several scales), NOT a quality benchmark.
+
+    ``variant="hard"`` (dataset name ``synthetic_hard``) adds the
+    high-frequency content the smooth corpus lacks — text-like glyph
+    strokes, fine oriented line textures, small-period checkerboards,
+    and step edges at many orientations, rendered at 2x and area-
+    downsampled for camera-like antialiased detail.  On the smooth
+    corpus bicubic is already near-optimal at x2 (+0.14 dB learned
+    margin, round-3 verdict weak #4); the hard corpus puts real energy
+    in the 0.1-0.35 cycles/px band that x2 SR exists to restore.  The
+    classic corpus stays the default so committed checkpoints/tables
+    keep their eval distribution.
     """
 
     def __init__(self, num_images: int = 32, height: int = 480,
-                 width: int = 480, seed: int = 0) -> None:
+                 width: int = 480, seed: int = 0,
+                 variant: str = "classic") -> None:
+        if variant not in ("classic", "hard"):
+            raise ValueError(f"unknown synthetic variant {variant!r}")
         self.num_images = num_images
         self.height, self.width = height, width
         self.seed = seed
+        self.variant = variant
         self._cache: Dict[int, np.ndarray] = {}
 
     def __len__(self) -> int:
         return self.num_images
 
     def name(self, idx: int) -> str:
-        return f"synthetic_{idx:04d}"
+        tag = "synthetic" if self.variant == "classic" else "synthhard"
+        return f"{tag}_{idx:04d}"
 
     def _render(self, idx: int) -> np.ndarray:
+        if self.variant == "hard":
+            return self._render_hard(idx)
         rng = np.random.default_rng(self.seed * 100003 + idx)
         h, w = self.height, self.width
         img = np.zeros((h, w, 3), np.float64)
@@ -96,6 +114,91 @@ class SyntheticImages:
         # Fine noise texture.
         img += rng.normal(0, 0.02, (h, w, 3))
         img = (img - img.min()) / (np.ptp(img) + 1e-9)
+        return (img * 255.0).round().astype(np.uint8)
+
+    def _render_hard(self, idx: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 100003 + idx + 777001)
+        # Render at 2x, then 2x2 area-average: edges/strokes come out
+        # antialiased (camera-like) instead of aliased 1-px staircases.
+        h2, w2 = self.height * 2, self.width * 2
+        img = np.zeros((h2, w2, 3), np.float64)
+        yy, xx = np.mgrid[0:h2, 0:w2].astype(np.float64)
+
+        # Smooth base (weaker than classic: detail is the point here).
+        for _ in range(3):
+            fy, fx = rng.uniform(0.5, 12.0, 2)
+            phase = rng.uniform(0, 2 * np.pi)
+            g = np.cos(2 * np.pi * (fy * yy / h2 + fx * xx / w2) + phase)
+            img += rng.uniform(0.05, 0.2) * g[:, :, None] \
+                * rng.uniform(0.3, 1.0, 3)
+
+        # Windowed oriented gratings: energy at 0.1-0.35 cycles/px in
+        # FINAL-resolution units (x0.5 here pre-downsample).
+        for _ in range(6):
+            f = rng.uniform(0.05, 0.175)      # cycles/px at 2x res
+            theta = rng.uniform(0, np.pi)
+            cy, cx = rng.uniform(0.1, 0.9) * h2, rng.uniform(0.1, 0.9) * w2
+            sig = rng.uniform(0.04, 0.15) * h2
+            window = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2)
+                            / (2 * sig ** 2))
+            carrier = np.cos(2 * np.pi * f * (np.cos(theta) * yy
+                                              + np.sin(theta) * xx)
+                             + rng.uniform(0, 2 * np.pi))
+            img += (rng.uniform(0.25, 0.5) * window * carrier)[:, :, None] \
+                * rng.uniform(0.5, 1.0, 3)
+
+        # Step edges at many orientations: half-plane fills inside
+        # random circular regions.
+        for _ in range(8):
+            cy, cx = rng.uniform(0, h2), rng.uniform(0, w2)
+            r = rng.uniform(0.05, 0.25) * h2
+            ny, nx = np.sin(t := rng.uniform(0, np.pi)), np.cos(t)
+            region = ((yy - cy) ** 2 + (xx - cx) ** 2) < r ** 2
+            half = (ny * (yy - cy) + nx * (xx - cx)) > 0
+            img[region & half] += rng.uniform(-0.5, 0.5, 3)
+
+        # Checkerboard patches, period 4-12 px at 2x (2-6 px final).
+        for _ in range(3):
+            y0, x0 = int(rng.integers(0, h2 - 64)), \
+                int(rng.integers(0, w2 - 64))
+            ph = min(int(rng.integers(48, h2 // 4)), h2 - y0)
+            pw = min(int(rng.integers(48, w2 // 4)), w2 - x0)
+            per = int(rng.integers(4, 13))
+            ys, xs = np.mgrid[0:ph, 0:pw]
+            board = (((ys // per) + (xs // per)) % 2).astype(np.float64)
+            img[y0:y0 + ph, x0:x0 + pw] += (
+                rng.uniform(0.3, 0.6) * (board - 0.5))[:, :, None] \
+                * rng.uniform(0.5, 1.0, 3)
+
+        # Text-like glyph strokes: short high-contrast segments with
+        # 2-6 px thickness (1-3 px final), drawn via distance-to-segment
+        # inside each stroke's bounding box.
+        n_strokes = int(rng.integers(60, 120))
+        for _ in range(n_strokes):
+            y0, x0 = rng.uniform(0, h2), rng.uniform(0, w2)
+            length = rng.uniform(8, 60)
+            t = rng.uniform(0, np.pi)
+            y1 = np.clip(y0 + length * np.sin(t), 0, h2 - 1)
+            x1 = np.clip(x0 + length * np.cos(t), 0, w2 - 1)
+            thick = rng.uniform(2.0, 6.0)
+            lo_y, hi_y = int(max(0, min(y0, y1) - thick - 1)), \
+                int(min(h2, max(y0, y1) + thick + 1))
+            lo_x, hi_x = int(max(0, min(x0, x1) - thick - 1)), \
+                int(min(w2, max(x0, x1) + thick + 1))
+            if hi_y <= lo_y or hi_x <= lo_x:
+                continue
+            ly, lx = np.mgrid[lo_y:hi_y, lo_x:hi_x].astype(np.float64)
+            dy, dx = y1 - y0, x1 - x0
+            den = dy * dy + dx * dx + 1e-9
+            tt = np.clip(((ly - y0) * dy + (lx - x0) * dx) / den, 0, 1)
+            dist = np.hypot(ly - (y0 + tt * dy), lx - (x0 + tt * dx))
+            mask = np.clip(thick / 2 + 0.5 - dist, 0, 1)  # soft edge
+            img[lo_y:hi_y, lo_x:hi_x] += (
+                rng.uniform(-0.9, 0.9) * mask)[:, :, None]
+
+        img = (img - img.min()) / (np.ptp(img) + 1e-9)
+        # 2x2 area-average down to the final resolution.
+        img = img.reshape(self.height, 2, self.width, 2, 3).mean((1, 3))
         return (img * 255.0).round().astype(np.uint8)
 
     def get(self, idx: int) -> np.ndarray:
@@ -348,8 +451,10 @@ class Prefetcher:
 
 def _resolve_train_source(opts) -> object:
     name = opts.train_dataset.lower()
-    if name == "synthetic":
-        return SyntheticImages(num_images=32, seed=opts.seed)
+    if name in ("synthetic", "synthetic_hard"):
+        return SyntheticImages(
+            num_images=32, seed=opts.seed,
+            variant="hard" if name == "synthetic_hard" else "classic")
     if name == "natural":
         # Real-photo fine-tuning corpus; the metric holdout photo stays
         # out of training so it is unseen by models AND metrics.
@@ -495,11 +600,13 @@ def load_eval_set(opts, dataset: Optional[str] = None,
     """
     name = dataset or opts.test_dataset
     samples: List[EvalSample] = []
-    if name.lower() in ("synthetic", "natural"):
-        src = (SyntheticImages(num_images=max_images or 5,
-                               seed=opts.seed + 1)
-               if name.lower() == "synthetic"
-               else NaturalImages(include_holdout=True))
+    if name.lower() in ("synthetic", "synthetic_hard", "natural"):
+        src = (NaturalImages(include_holdout=True)
+               if name.lower() == "natural"
+               else SyntheticImages(
+                   num_images=max_images or 5, seed=opts.seed + 1,
+                   variant=("hard" if name.lower() == "synthetic_hard"
+                            else "classic")))
         n = len(src) if max_images is None else min(len(src), max_images)
         for i in range(n):
             hr = src.get(i)

@@ -154,6 +154,13 @@ def load_natural_images(include_holdout: bool = False,
     return out
 
 
+def holdout_names() -> List[str]:
+    """Registry names of the never-fitted holdout entries (whether or
+    not the source package is installed) — lets eval reports mark which
+    rows are genuinely out-of-sample for the metric models."""
+    return [entry.name for entry in REGISTRY if entry.holdout]
+
+
 def load_holdout_image() -> Optional[np.ndarray]:
     """The never-fitted holdout photograph (None if unavailable)."""
     for entry in REGISTRY:
