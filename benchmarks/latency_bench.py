@@ -135,6 +135,7 @@ def spatial_curve(reps: int) -> dict:
                       "it does not demonstrate real-ICI speedup"),
            "curve": []}
     base_ms = None
+    import math
     for n in (1, 2, 4, 8):
         mesh = make_mesh(n)
         tiler = BatchTiledUpscaler(apply_fn, pvars, scale, "auto", 8,
@@ -142,8 +143,13 @@ def spatial_curve(reps: int) -> dict:
         t = _time_engine(tiler, imgs_dev, reps)
         if base_ms is None:
             base_ms = t["ms_best"]
+        h, w = int(img.shape[1]), int(img.shape[2])
+        th, tw = tiler._tile_hw(h, w, b=1)
+        grid = math.ceil(h / th) * math.ceil(w / tw)
         row = {"devices": n, **t,
-               "speedup_vs_1": round(base_ms / t["ms_best"], 2)}
+               "speedup_vs_1": round(base_ms / t["ms_best"], 2),
+               "tiles_total": grid,
+               "tiles_per_device": math.ceil(grid / n)}
         print(f"[latency] spatial {row}", flush=True)
         out["curve"].append(row)
         del tiler
@@ -160,6 +166,11 @@ def main() -> int:
     args = p.parse_args()
 
     if args.spatial_curve:
+        # Env vars alone don't survive this box's TPU-plugin
+        # sitecustomize (it force-sets jax_platforms at boot); the
+        # shared helper also updates the jax config.
+        from pesr_tpu.parallel import force_cpu_devices
+        force_cpu_devices(8)
         print(json.dumps({"spatial": spatial_curve(args.reps)}))
         return 0
 
