@@ -29,6 +29,15 @@ def acquire_tpu(max_attempts: int = 12, backoff_s: float = 25.0):
 
     try:
         devices = jax.devices()
+        if devices and devices[0].platform == "cpu":
+            # The sitecustomize pins jax_platforms to "axon,cpu": a
+            # failed axon init (previous holder's lease still
+            # draining) does NOT raise — jax silently falls back to
+            # CPU and a "TPU" benchmark then measures host cores.
+            # Treat the fallback as busy and retry like the error
+            # path below.
+            raise RuntimeError(
+                "axon backend unavailable (jax fell back to cpu)")
         # Clear the retry counter on success: child processes (e.g.
         # benchmarks/run.py config4 spawning bench.py) must start their
         # own attempt budget, not inherit an exhausted one.
