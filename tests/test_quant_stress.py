@@ -122,6 +122,40 @@ def test_guard_passes_healthy_and_catches_calibration_shift(ckpt):
 
 
 @pytest.mark.slow
+def test_cli_quant_guard_serves_and_falls_back(tmp_path, monkeypatch):
+    """test.py --quant int8 --quant_guard_db wiring: a sane floor
+    serves int8 (exit 0, PNGs written); an absurd floor (no int8 can
+    agree with bf16 to 200 dB) triggers the documented bf16 fallback
+    and the run still completes with exit 0 — the guard degrades
+    precision, never availability."""
+    from pesr_tpu.training import checkpoint as ckpt_io
+    from pesr_tpu.training.loop import build_generator
+    from pesr_tpu.training.state import create_generator_state
+
+    opts = dataclasses.replace(Opts(), num_blocks=2, num_channels=8,
+                               scale=2, compute_dtype="float32")
+    g = create_generator_state(opts, build_generator(opts),
+                               jax.random.key(0))
+    ckpt_io.save_train_ckpt(str(tmp_path / "m"), 1, g)
+
+    import test as test_cli
+    monkeypatch.chdir(tmp_path)
+    base = ["--dataset", "synthetic", "--scale", "2",
+            "--num_blocks", "2", "--num_channels", "8",
+            "--compute_dtype", "float32", "--tile_size", "16",
+            "--model_path", str(tmp_path / "m"),
+            "--quant", "int8",
+            "--output_dir", str(tmp_path / "out")]
+    assert test_cli.main(base + ["--quant_guard_db", "20"]) == 0
+    assert list((tmp_path / "out" / "synthetic").glob("*.png"))
+
+    assert test_cli.main(base + ["--quant_guard_db", "200",
+                                 "--output_dir",
+                                 str(tmp_path / "out2")]) == 0
+    assert list((tmp_path / "out2" / "synthetic").glob("*.png"))
+
+
+@pytest.mark.slow
 def test_guard_agreement_orders_with_quantization_damage(ckpt):
     """Agreement must fall monotonically with real quantization damage
     so the threshold transfers: matched calibration > mildly-shifted >
