@@ -91,8 +91,10 @@ class Opts:
     # --- checkpoints / logging (SURVEY.md §5.4/5.5) ---
     check_point: str = "check_point/pesr"
     snapshot_every: int = 10      # epochs between checkpoint snapshots
-    log_every: int = 50           # steps between scalar log lines
+                                  # (0 = end-of-training save only)
+    log_every: int = 50           # steps between scalar logs (0 = off)
     eval_every: int = 1           # epochs between self-validation evals
+                                  # (0 = off)
     eval_pi: bool = True          # PIRM PI (NIQE+Ma) in self-validation
     resume: bool = False          # resume full G/D/optimizer state from
                                   # the latest step under check_point

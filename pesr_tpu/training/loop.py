@@ -431,7 +431,7 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                 box["profile_open"] = False
                 print(f"[profile] trace written to {opts.profile_dir}")
             pending.append(metrics)
-            if global_step % opts.log_every == 0:
+            if opts.log_every > 0 and global_step % opts.log_every == 0:
                 avg = {k: float(np.mean([np.asarray(m[k])
                                          for m in pending]))
                        for k in pending[0]}
@@ -445,7 +445,9 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                 logger.log(global_step, avg, prefix=opts.phase)
                 pending.clear()
 
-        if (epoch + 1) % opts.eval_every == 0:
+        # 0 = off for the every-N knobs (the repo's flag convention);
+        # modulo-by-zero used to crash the loop at the first epoch end.
+        if opts.eval_every > 0 and (epoch + 1) % opts.eval_every == 0:
             # Multi-host discipline: save_best_ckpt is a COLLECTIVE
             # (orbax barriers, checkpoint.py), and this block is the one
             # place per-host control flow can diverge — the eval set
@@ -501,7 +503,8 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                     # review finding.)
                     print(f"[val] skipped: {e}")
 
-        if (epoch + 1) % opts.snapshot_every == 0 \
+        if (opts.snapshot_every > 0
+                and (epoch + 1) % opts.snapshot_every == 0) \
                 or epoch + 1 == opts.num_epochs:
             path = ckpt.save_train_ckpt(opts.check_point, global_step,
                                         g_state, d_state,

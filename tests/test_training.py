@@ -255,6 +255,23 @@ def test_epoch_length_derives_from_num_repeats(tmp_path):
     assert summary["steps"] == 8
 
 
+def test_every_n_knobs_accept_zero_as_off(tmp_path):
+    """0 = off for eval_every/snapshot_every/log_every (the repo's flag
+    convention) — modulo-by-zero used to crash the loop at the first
+    epoch end (found round 4).  End-of-training checkpoint still saves
+    with snapshot_every=0."""
+    from pesr_tpu.training.checkpoint import latest_step_dir
+    from pesr_tpu.training.loop import run_training
+    opts = dataclasses.replace(
+        TINY, phase="pretrain", steps_per_epoch=2, batch_size=8,
+        num_epochs=1, train_dataset="synthetic",
+        valid_dataset="synthetic", eval_every=0, snapshot_every=0,
+        log_every=0, check_point=str(tmp_path / "exp"))
+    summary = run_training(opts)
+    assert summary["steps"] == 2
+    assert latest_step_dir(str(tmp_path / "exp"))  # final save happened
+
+
 @pytest.mark.slow
 def test_restore_train_state_full_roundtrip(tmp_path):
     """Resume restores params AND optimizer state onto fresh templates
