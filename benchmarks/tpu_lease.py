@@ -29,13 +29,17 @@ def acquire_tpu(max_attempts: int = 12, backoff_s: float = 25.0):
 
     try:
         devices = jax.devices()
-        if devices and devices[0].platform == "cpu":
+        if (devices and devices[0].platform == "cpu"
+                and not os.environ.get("PESR_ALLOW_CPU_BENCH")):
             # The sitecustomize pins jax_platforms to "axon,cpu": a
             # failed axon init (previous holder's lease still
             # draining) does NOT raise — jax silently falls back to
             # CPU and a "TPU" benchmark then measures host cores.
             # Treat the fallback as busy and retry like the error
-            # path below.
+            # path below.  On a genuinely CPU-only machine set
+            # PESR_ALLOW_CPU_BENCH=1 to run anyway (numbers will be
+            # labeled by the caller's device fields, not silently
+            # wrong).
             raise RuntimeError(
                 "axon backend unavailable (jax fell back to cpu)")
         # Clear the retry counter on success: child processes (e.g.
