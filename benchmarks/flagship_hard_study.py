@@ -51,13 +51,13 @@ def _opts(scale: int, steps: int, ckpt: str):
 def study_scale(scale: int, steps: int) -> dict:
     import jax.numpy as jnp
     import numpy as np
+    from hard_demo import bicubic_baseline
 
     from pesr_tpu.data.datasets import load_eval_set
     from pesr_tpu.metrics import calc_psnr
     from pesr_tpu.models.fold import folded_inference
     from pesr_tpu.models.quant_apply import (default_calib_tiles,
                                              int8_inference)
-    from pesr_tpu.ops.resize import imresize
     from pesr_tpu.ops.tiling import BatchTiledUpscaler
     from pesr_tpu.training.checkpoint import (latest_step_dir,
                                               restore_generator_params)
@@ -75,18 +75,12 @@ def study_scale(scale: int, steps: int) -> dict:
     samples = load_eval_set(_opts(scale, 0, ckpt), "synthetic_hard", 5)
     lrs = [s.lr for s in samples]
 
-    # MATLAB-bicubic baseline (the reference's LR convention inverted)
-    bicubic = []
-    for s in samples:
-        h, w = s.lr.shape[:2]
-        up = imresize(jnp.asarray(s.lr, jnp.float32),
-                      (h * scale, w * scale))
-        up = np.clip(np.round(np.asarray(up)), 0, 255).astype(np.uint8)
-        bicubic.append(calc_psnr(up, s.hr, crop_border=scale))
+    # MATLAB-bicubic baseline (shared helper, hard_demo.py)
+    bicubic = bicubic_baseline(samples, scale)
 
     params, step = restore_generator_params(ckpt)
     out = {"scale": scale, "steps": step,
-           "psnr_bicubic": round(float(np.mean(bicubic)), 3)}
+           "psnr_bicubic": round(bicubic, 3)}
     for path in ("bf16", "int8"):
         if path == "bf16":
             apply_fn, variables = folded_inference(params, scale,
@@ -100,7 +94,7 @@ def study_scale(scale: int, steps: int) -> dict:
             [calc_psnr(sr, s.hr, crop_border=scale)
              for sr, s in zip(srs, samples)])), 3)
         del eng
-    out["margin_db"] = round(out["psnr_bf16"] - out["psnr_bicubic"], 3)
+    out["margin_db"] = round(out["psnr_bf16"] - bicubic, 3)
     out["int8_delta_db"] = round(out["psnr_bf16"] - out["psnr_int8"], 3)
     print(f"[hard-study] x{scale}: {out}", flush=True)
     return out

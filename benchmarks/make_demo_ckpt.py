@@ -39,17 +39,11 @@ def main() -> int:
     from pesr_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
 
-    import jax.numpy as jnp
-    import numpy as np
+    from hard_demo import bicubic_baseline, model_psnr
 
     from pesr_tpu.config import Opts
     from pesr_tpu.data.datasets import load_eval_set
-    from pesr_tpu.metrics import calc_psnr
-    from pesr_tpu.models.fold import folded_inference
-    from pesr_tpu.ops.resize import imresize
-    from pesr_tpu.ops.tiling import BatchTiledUpscaler
-    from pesr_tpu.training.checkpoint import (latest_step_dir,
-                                              restore_generator_params)
+    from pesr_tpu.training.checkpoint import latest_step_dir
     from pesr_tpu.training.loop import run_training
 
     if latest_step_dir(ckpt):
@@ -66,26 +60,13 @@ def main() -> int:
 
     samples = load_eval_set(Opts(num_blocks=8, num_channels=64,
                                  scale=args.scale), args.dataset, 5)
-    bicubic = []
-    for s in samples:
-        h, w = s.lr.shape[:2]
-        up = imresize(jnp.asarray(s.lr, jnp.float32),
-                      (h * args.scale, w * args.scale))
-        up = np.clip(np.round(np.asarray(up)), 0, 255).astype(np.uint8)
-        bicubic.append(calc_psnr(up, s.hr, crop_border=args.scale))
-
-    params, _ = restore_generator_params(ckpt)
-    apply_fn, variables = folded_inference(params, args.scale)
-    eng = BatchTiledUpscaler(apply_fn, variables, args.scale, "auto", 8)
-    srs = eng.upscale_many([s.lr for s in samples], batch_size=8)
-    learned = float(np.mean([calc_psnr(sr, s.hr,
-                                       crop_border=args.scale)
-                             for sr, s in zip(srs, samples)]))
+    bicubic = bicubic_baseline(samples, args.scale)   # shared helpers
+    learned = model_psnr(ckpt, args.scale, samples)   # (hard_demo.py)
     out = {"scale": args.scale, "ckpt": os.path.relpath(ckpt, REPO),
            "steps": args.steps, "dataset": args.dataset,
            "psnr_learned": round(learned, 3),
-           "psnr_bicubic": round(float(np.mean(bicubic)), 3),
-           "margin_db": round(learned - float(np.mean(bicubic)), 3)}
+           "psnr_bicubic": round(bicubic, 3),
+           "margin_db": round(learned - bicubic, 3)}
     print(json.dumps(out))
     return 0
 

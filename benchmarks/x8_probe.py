@@ -162,7 +162,6 @@ def main() -> int:
 
     trunk_out = jbody(q, x)  # [b, ph, pw, 256] bf16
 
-    pads = eng.pads if hasattr(eng, "pads") else None
     up = q["upfold"]
     # int8_inference popped _pads into the apply closure; re-derive.
     from pesr_tpu.models.fold import fold_generator_params

@@ -106,10 +106,15 @@ class SyntheticImages:
             grating = np.cos(2 * np.pi * (fy * yy / h + fx * xx / w) + phase)
             img += amp * grating[:, :, None] * rng.uniform(0.3, 1.0, 3)
         # Piecewise structure: a few random rectangles (edges for SR).
+        # (Same small-canvas clamps as the hard variant; identical
+        # draws at the default 480x480.)
         for _ in range(8):
-            y0, x0 = rng.integers(0, h - 8), rng.integers(0, w - 8)
-            y1 = y0 + int(rng.integers(8, h // 3))
-            x1 = x0 + int(rng.integers(8, w // 3))
+            y0, x0 = rng.integers(0, max(1, h - 8)), \
+                rng.integers(0, max(1, w - 8))
+            y1 = y0 + int(rng.integers(min(8, max(2, h // 3) - 1),
+                                       max(9, h // 3)))
+            x1 = x0 + int(rng.integers(min(8, max(2, w // 3) - 1),
+                                       max(9, w // 3)))
             img[y0:y1, x0:x1] += rng.uniform(-0.4, 0.4, 3)
         # Fine noise texture.
         img += rng.normal(0, 0.02, (h, w, 3))
@@ -158,11 +163,17 @@ class SyntheticImages:
             img[region & half] += rng.uniform(-0.5, 0.5, 3)
 
         # Checkerboard patches, period 4-12 px at 2x (2-6 px final).
+        # Range clamps keep small canvases legal (h2 <= 192 used to
+        # raise ValueError: low >= high) while staying BYTE-IDENTICAL
+        # at the default 480x480 — committed checkpoints and tables
+        # were trained/evaluated on these exact renders.
         for _ in range(3):
-            y0, x0 = int(rng.integers(0, h2 - 64)), \
-                int(rng.integers(0, w2 - 64))
-            ph = min(int(rng.integers(48, h2 // 4)), h2 - y0)
-            pw = min(int(rng.integers(48, w2 // 4)), w2 - x0)
+            y0, x0 = int(rng.integers(0, max(1, h2 - 64))), \
+                int(rng.integers(0, max(1, w2 - 64)))
+            ph = min(int(rng.integers(min(48, max(2, h2 // 4) - 1),
+                                      max(49, h2 // 4))), h2 - y0)
+            pw = min(int(rng.integers(min(48, max(2, w2 // 4) - 1),
+                                      max(49, w2 // 4))), w2 - x0)
             per = int(rng.integers(4, 13))
             ys, xs = np.mgrid[0:ph, 0:pw]
             board = (((ys // per) + (xs // per)) % 2).astype(np.float64)

@@ -322,7 +322,8 @@ def int8_inference(params: Dict[str, Any], scale: int,
 def int8_agreement_db(apply_int8: Callable, qvariables: Any,
                       params: Dict[str, Any], scale: int,
                       probe_tiles: Sequence[np.ndarray],
-                      res_scale: float = 0.1) -> float:
+                      res_scale: float = 0.1,
+                      bf16_engine=None) -> float:
     """Agreement PSNR (dB, 255-peak) between the int8 and bf16-folded
     applies over normalized [-1,1] NHWC probe batches.
 
@@ -343,8 +344,14 @@ def int8_agreement_db(apply_int8: Callable, qvariables: Any,
 
     from pesr_tpu.models.fold import folded_inference
 
-    bf16_apply, bf16_vars = folded_inference(params, scale,
-                                             dtype=jnp.bfloat16)
+    # res_scale MUST reach the reference engine: comparing against a
+    # differently-scaled network makes the agreement meaningless.
+    # ``bf16_engine`` lets int8_inference_guarded share the one it
+    # builds instead of folding the params twice.
+    bf16_apply, bf16_vars = (bf16_engine if bf16_engine is not None
+                             else folded_inference(params, scale,
+                                                   res_scale,
+                                                   dtype=jnp.bfloat16))
     f_int8 = jax.jit(apply_int8)
     f_bf16 = jax.jit(bf16_apply)
     se, n = 0.0, 0
@@ -365,7 +372,8 @@ def int8_inference_guarded(params: Dict[str, Any], scale: int,
                            = None,
                            min_agreement_db: float = 55.0,
                            res_scale: float = 0.1,
-                           quant_fold: Optional[bool] = None):
+                           quant_fold: Optional[bool] = None,
+                           fallback_dtype=None):
     """int8_inference with an automatic per-checkpoint quality guard
     (round-3 verdict #2 mitigation).
 
@@ -373,8 +381,9 @@ def int8_inference_guarded(params: Dict[str, Any], scale: int,
     on ``probe_tiles`` (default: the calibration tiles — pass tiles
     from the SERVING distribution to also catch calibration/serving
     distribution shift, the one stress class that measurably blows the
-    0.05 dB budget), and falls back to the bf16 folded path WITH A
-    LOUD WARNING when agreement lands under ``min_agreement_db``.
+    0.05 dB budget), and falls back to the unquantized folded path
+    (``fallback_dtype``; default bf16) WITH A LOUD WARNING when
+    agreement lands under ``min_agreement_db``.
 
     Returns ``(apply_fn, variables, report)``; ``report["fallback"]``
     says which engine came back.  The default threshold (55 dB) sits
@@ -385,10 +394,15 @@ def int8_inference_guarded(params: Dict[str, Any], scale: int,
     false-fallback margin.  Deployments valuing throughput over the
     last 0.1 dB can lower it; quality-critical ones can raise it
     toward 59 (the 0.05 dB point)."""
+    from pesr_tpu.models.fold import folded_inference
+
     apply_fn, variables = int8_inference(params, scale, calib_tiles,
                                          res_scale, quant_fold)
+    bf16_engine = folded_inference(params, scale, res_scale,
+                                   dtype=jnp.bfloat16)
     agreement = int8_agreement_db(apply_fn, variables, params, scale,
-                                  probe_tiles or calib_tiles, res_scale)
+                                  probe_tiles or calib_tiles, res_scale,
+                                  bf16_engine=bf16_engine)
     report = {"agreement_db": round(agreement, 2),
               "min_agreement_db": min_agreement_db,
               "fallback": agreement < min_agreement_db}
@@ -400,11 +414,16 @@ def int8_inference_guarded(params: Dict[str, Any], scale: int,
             f"would not hold the quality budget on this checkpoint/"
             f"calibration (likely causes: calibration tiles that do not "
             f"cover the serving distribution, or pathological weight "
-            f"statistics).  FALLING BACK TO bf16 (slower, exact).",
+            f"statistics).  FALLING BACK to the unquantized folded "
+            f"path (slower, exact).",
             file=sys.stderr, flush=True)
-        from pesr_tpu.models.fold import folded_inference
-        apply_fn, variables = folded_inference(params, scale,
-                                               dtype=jnp.bfloat16)
+        if fallback_dtype is None or fallback_dtype == jnp.bfloat16:
+            # Reuse the reference engine the agreement probe built.
+            apply_fn, variables = bf16_engine
+        else:
+            apply_fn, variables = folded_inference(params, scale,
+                                                   res_scale,
+                                                   dtype=fallback_dtype)
     return apply_fn, variables, report
 
 

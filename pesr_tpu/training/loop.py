@@ -430,7 +430,8 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                 jax.profiler.stop_trace()
                 box["profile_open"] = False
                 print(f"[profile] trace written to {opts.profile_dir}")
-            pending.append(metrics)
+            if opts.log_every > 0:  # 0 = logging off: don't accumulate
+                pending.append(metrics)
             if opts.log_every > 0 and global_step % opts.log_every == 0:
                 avg = {k: float(np.mean([np.asarray(m[k])
                                          for m in pending]))

@@ -114,19 +114,27 @@ def main(argv=None) -> int:
             # calibrate offline should probe with SERVING tiles to
             # also catch calibration distribution shift
             # (tests/test_quant_stress.py).
+            import jax.numpy as jnp
             apply_fn, variables, report = int8_inference_guarded(
                 params, opts.scale, tiles,
                 min_agreement_db=opts.quant_guard_db,
-                res_scale=opts.res_scale)
+                res_scale=opts.res_scale,
+                fallback_dtype=(jnp.bfloat16
+                                if opts.compute_dtype == "bfloat16"
+                                else jnp.float32))
             print(f"int8 quality guard: {report}")
             if report["fallback"]:
                 # Keep the rest of the run honest about the precision
                 # actually served (artifact metadata, printed labels).
                 opts = dataclasses.replace(opts, quant="none")
+                print(f"using folded {opts.compute_dtype} path "
+                      f"(quality-guard fallback)")
+            else:
+                print("using int8 W8A8 inference path (calibrated)")
         else:
             apply_fn, variables = int8_inference(params, opts.scale,
                                                  tiles, opts.res_scale)
-        print("using int8 W8A8 inference path (calibrated)")
+            print("using int8 W8A8 inference path (calibrated)")
     elif opts.use_pallas:
         from pesr_tpu.models.pallas_apply import make_pallas_apply
         apply_fn = make_pallas_apply(opts.scale, opts.res_scale)

@@ -22,6 +22,36 @@ def test_synthetic_images_deterministic():
     assert not np.array_equal(a.get(0), a.get(1))
 
 
+def test_synthetic_renders_pinned_across_code_versions():
+    """Committed checkpoints were trained on — and committed PSNR/PI
+    tables evaluated on — these exact default-size renders.  Any edit
+    to _render/_render_hard that changes the bytes silently invalidates
+    every number in demo/README.md; pin the sha256 of image 0 (both
+    variants, default seed/size) so such a change fails loudly."""
+    import hashlib
+    PINS = {
+        "classic": "105bfd4233e73a067ef96b456d37baa5"
+                   "19dc349129dc65170305bd57564bf7a5",
+        "hard": "fe1e105d0c6dcb94e0c29aac3c9a2349"
+                "43f998c1a9bc23b4e5b14554d2eecc70",
+    }
+    for variant, want in PINS.items():
+        img = SyntheticImages(1, 480, 480, variant=variant).get(0)
+        assert hashlib.sha256(img.tobytes()).hexdigest() == want, variant
+
+
+def test_synthetic_hard_renders_at_small_canvases():
+    """The hard variant's checkerboard block used to raise ValueError
+    (rng.integers low >= high) for height/width <= 96; the clamps must
+    keep every small canvas legal (and the pin above proves they left
+    the default renders byte-identical)."""
+    for variant in ("classic", "hard"):
+        for size in (32, 48, 64, 96):
+            img = SyntheticImages(1, size, size, variant=variant).get(0)
+            assert img.shape == (size, size, 3)
+            assert img.dtype == np.uint8
+
+
 def test_patch_iterator_synthesized_lr_alignment():
     src = SyntheticImages(2, 96, 96, seed=0)
     it = PatchIterator(src, patch_size=8, scale=4, batch_size=3, seed=1)

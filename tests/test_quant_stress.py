@@ -112,12 +112,15 @@ def test_guard_passes_healthy_and_catches_calibration_shift(ckpt):
     assert not rep_ok["fallback"], rep_ok
     assert rep_ok["agreement_db"] > 58.0, rep_ok
 
-    apply_bad, _, rep_bad = int8_inference_guarded(
+    apply_bad, vars_bad, rep_bad = int8_inference_guarded(
         params, 4, _dark_tiles(), probe_tiles=calib)
     assert rep_bad["fallback"], rep_bad
     assert rep_bad["agreement_db"] < 50.0, rep_bad
-    # The fallback really is the bf16 path: no quantized weights in it.
-    assert not hasattr(apply_bad, "uint8_variant") or True  # marker-free
+    # The fallback really is the unquantized folded path: no int8
+    # weight tensors anywhere in its variables tree.
+    leaves = jax.tree_util.tree_leaves(vars_bad)
+    assert leaves and not any(a.dtype == np.int8 for a in leaves), \
+        sorted({str(a.dtype) for a in leaves})
     assert rep_bad["agreement_db"] < rep_ok["agreement_db"] - 10.0
 
 
@@ -153,6 +156,47 @@ def test_cli_quant_guard_serves_and_falls_back(tmp_path, monkeypatch):
                                  "--output_dir",
                                  str(tmp_path / "out2")]) == 0
     assert list((tmp_path / "out2" / "synthetic").glob("*.png"))
+
+
+def test_guard_respects_res_scale():
+    """The agreement probe's bf16 reference (and the fallback engine)
+    must be built with the CALLER'S res_scale: with a non-default
+    res_scale the old code compared the int8 engine against a
+    differently-scaled network, collapsing agreement and serving a
+    wrong model on fallback (round-4 review finding)."""
+    import jax.numpy as jnp
+
+    from pesr_tpu.models import Generator
+
+    rs = 0.3
+    gen = Generator(scale=2, num_blocks=2, num_channels=8,
+                    res_scale=rs)
+    params = jax.jit(gen.init)(jax.random.key(0),
+                               jnp.zeros((1, 16, 16, 3)))["params"]
+    rng = np.random.default_rng(0)
+    tiles = default_calib_tiles(
+        [rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)],
+        tile=32, max_tiles=4)
+
+    apply_fn, qvars = int8_inference(params, 2, tiles, res_scale=rs)
+    a_right = int8_agreement_db(apply_fn, qvars, params, 2, tiles,
+                                res_scale=rs)
+    a_wrong = int8_agreement_db(apply_fn, qvars, params, 2, tiles,
+                                res_scale=0.1)
+    # Matched reference = quantization noise only; mismatched = a
+    # different network.  The margin is what the guard's floor rides.
+    assert a_right > a_wrong + 10.0, (a_right, a_wrong)
+
+    # A floor between the two regimes: the guarded build must measure
+    # the MATCHED agreement (no fallback).  Pre-fix it measured
+    # a_wrong and spuriously fell back.  (Absolute agreement is low
+    # here — random untrained weights — so the floor is relative.)
+    floor = (a_right + a_wrong) / 2.0
+    _, vars_ok, rep = int8_inference_guarded(params, 2, tiles,
+                                             res_scale=rs,
+                                             min_agreement_db=floor)
+    assert not rep["fallback"], (rep, a_right, a_wrong)
+    assert abs(rep["agreement_db"] - a_right) < 1.0, (rep, a_right)
 
 
 @pytest.mark.slow
