@@ -33,11 +33,10 @@ from pesr_tpu.ops.pixel_shuffle import pixel_shuffle, upsample_stages
 
 
 def _conv(x: jnp.ndarray, p: Any, dtype) -> jnp.ndarray:
-    """flax.linen.Conv-equivalent SAME conv + bias in compute dtype."""
-    y = jax.lax.conv_general_dilated(
-        x.astype(dtype), p["kernel"].astype(dtype), (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + p["bias"].astype(dtype)
+    """flax.linen.Conv-equivalent SAME conv + bias in compute dtype
+    (fold._bias_conv — one definition of the NHWC/HWIO semantics)."""
+    from pesr_tpu.models.fold import _bias_conv
+    return _bias_conv(x, p, "SAME", dtype)
 
 
 def make_pallas_apply(scale: int, res_scale: float = 0.1,

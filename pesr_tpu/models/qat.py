@@ -41,8 +41,15 @@ def fake_quant_conv(x: jnp.ndarray, kernel: jnp.ndarray,
                     bias: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Inference-sim W8A8 conv: quantize activations per input channel,
     fold those scales into the kernel, quantize it per output channel,
-    convolve the integer-valued tensors, dequantize.  Bit-matches
-    quant_apply._qconv when the calibration amax equals this batch's."""
+    convolve the integer-valued tensors, dequantize.  Matches
+    quant_apply._qconv when the calibration amax equals this batch's —
+    up to one int8 LSB on values landing within an f32 ulp of a .5
+    rounding boundary: the inference path computes weight scales in
+    float64 and rounds x*qin (a precomputed reciprocal) while this
+    traced graph stays float32 and divides, so the two can round such
+    borderline values to adjacent steps.  Immaterial for training (QAT
+    optimizes THROUGH the quantizer, not against exact bits), but do
+    not build bit-equality tests on this contract."""
     xf = x.astype(jnp.float32)
     amax = jax.lax.stop_gradient(
         jnp.max(jnp.abs(xf), axis=tuple(range(x.ndim - 1))))
@@ -72,11 +79,10 @@ def make_qat_apply(scale: int, res_scale: float = 0.1,
     mirroring quant_apply's endpoint policy)."""
     stages = upsample_stages(scale)
 
+    from pesr_tpu.models.fold import _bias_conv
+
     def _conv(x, p):
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype), jnp.asarray(p["kernel"]).astype(dtype),
-            (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + jnp.asarray(p["bias"]).astype(dtype)
+        return _bias_conv(x, p, "SAME", dtype)
 
     def apply(variables: Any, x: jnp.ndarray) -> jnp.ndarray:
         p = variables["params"]

@@ -49,10 +49,10 @@ from pesr_tpu.ops.pixel_shuffle import fold_min_halo
 
 def _conv_bf16(x: jnp.ndarray, p: Dict[str, Any],
                padding="SAME") -> jnp.ndarray:
-    y = jax.lax.conv_general_dilated(
-        x.astype(jnp.bfloat16), jnp.asarray(p["kernel"], jnp.bfloat16),
-        (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + jnp.asarray(p["bias"], jnp.bfloat16)
+    """bf16 conv+bias — fold._bias_conv pinned to the bf16 dtype (one
+    definition of the NHWC/HWIO conv semantics; round-4 review)."""
+    from pesr_tpu.models.fold import _bias_conv
+    return _bias_conv(x, p, padding, jnp.bfloat16)
 
 
 # --------------------------------------------------------------------------
@@ -60,13 +60,17 @@ def _conv_bf16(x: jnp.ndarray, p: Dict[str, Any],
 # --------------------------------------------------------------------------
 
 
-def make_calibration_apply(scale: int, res_scale: float = 0.1) -> Callable:
+def make_calibration_apply(res_scale: float = 0.1) -> Callable:
     """Build ``calib(variables, x) -> amax tree``: a bf16 forward that
     records per-channel max|input| of every quantizable conv.
 
     The amax tree mirrors what quantize_generator_params consumes:
       {"body": {"in1": [L, C], "in2": [L, C]}, "tail_in": [C],
        "up_in": [C]}  (up_in = the folded-upsampler input tail+skip)
+
+    Scale-independent by construction: the graph stops at the upfold
+    INPUT, which every scale shares — the same amax tree calibrates a
+    checkpoint at any scale (a former ``scale`` parameter was dead).
     """
 
     def apply(variables: Any, x: jnp.ndarray) -> Dict[str, Any]:
@@ -97,12 +101,13 @@ def make_calibration_apply(scale: int, res_scale: float = 0.1) -> Callable:
     return apply
 
 
-def collect_calibration(params: Dict[str, Any], scale: int,
+def collect_calibration(params: Dict[str, Any],
                         tiles: Sequence[np.ndarray],
                         res_scale: float = 0.1) -> Dict[str, Any]:
     """Run the calibration forward over normalized [-1,1] NHWC tiles
-    (same-shape batches) and reduce amax across batches."""
-    calib_fn = jax.jit(make_calibration_apply(scale, res_scale))
+    (same-shape batches) and reduce amax across batches.  Calibration
+    is scale-independent (see make_calibration_apply)."""
+    calib_fn = jax.jit(make_calibration_apply(res_scale))
     acc = None
     for t in tiles:
         stats = jax.device_get(calib_fn({"params": params},
@@ -312,7 +317,7 @@ def int8_inference(params: Dict[str, Any], scale: int,
     quality margin for free (round-3 on-chip measurements)."""
     if quant_fold is None:
         quant_fold = scale >= 8
-    calib = collect_calibration(params, scale, calib_tiles, res_scale)
+    calib = collect_calibration(params, calib_tiles, res_scale)
     q = quantize_generator_params(params, calib, scale,
                                   quant_fold=quant_fold)
     pads = q.pop("_pads")

@@ -284,8 +284,20 @@ class BatchTiledUpscaler:
                         waste = nh * nw * area_in  # total input px
                     if best is None or waste < best[0]:
                         best = (waste, th, tw)
-            if best is None:  # image larger than any budgeted grid
-                side = int(math.sqrt(max_area)) - 2 * self.ov
+            if best is None:
+                # Image larger than any budgeted 16x16 grid.  Use the
+                # halo-inclusive square the budget allows, with the
+                # EFFECTIVE halo (overlap may sit below the min_halo
+                # correctness floor) and a hard positive floor: a big
+                # overlap against a small budget used to go negative
+                # here and crash _build with negative pads.  The floor
+                # may overshoot the HBM budget in pathological
+                # (budget << halo²) configs — a slow dispatch beats a
+                # crash, and the seam/fold semantics stay exact for
+                # ANY grid.
+                ov_eff = max(self.ov, self.min_halo)
+                side = int(math.sqrt(max_area)) - 2 * ov_eff
+                side = max(side, 32)
                 return side, side
             return best[1], best[2]
         if isinstance(self.tile, tuple):
@@ -338,9 +350,14 @@ class BatchTiledUpscaler:
                 from jax.sharding import NamedSharding, PartitionSpec
                 bsz = imgs_u8.shape[0]
                 ndev = self.mesh.size
-                x = normalize_uint8(imgs_u8)
-                x = _pad_edge_device(x, (ov_h, nh * th - h + ov_h,
-                                         ov_w, nw * tw - w + ov_w))
+                # Keep the replicated pad/slice/stack in UINT8 — the
+                # [T, bsz, th+2ov, tw+2ov, 3] overlapping tile stack is
+                # the largest buffer here, and normalize commutes with
+                # replicate-pad/slicing elementwise, so normalizing
+                # per shard AFTER the sharding constraint moves 1-byte
+                # (not 4-byte) pixels through the replication.
+                x = _pad_edge_device(imgs_u8, (ov_h, nh * th - h + ov_h,
+                                               ov_w, nw * tw - w + ov_w))
                 # [T, bsz, th+2ov_h, tw+2ov_w, 3], tile-position major.
                 tiles = jnp.stack([
                     jax.lax.slice(
@@ -359,7 +376,7 @@ class BatchTiledUpscaler:
                 flat = jax.lax.with_sharding_constraint(
                     flat, NamedSharding(self.mesh,
                                         PartitionSpec(DATA_AXIS)))
-                sr = tile_fn(variables, flat)
+                sr = tile_fn(variables, normalize_uint8(flat))
                 core_f = sr[:, ov_h * s:(ov_h + th) * s,
                             ov_w * s:(ov_w + tw) * s, :]
                 core_f = core_f.reshape(t_total + pad, bsz,

@@ -46,13 +46,13 @@ def test_calibration_records_per_channel_amax():
     x = np.random.default_rng(1).uniform(-1, 1, (2, 16, 16, 3)).astype(
         np.float32)
     variables = gen.init(jax.random.key(0), jnp.asarray(x))
-    calib = collect_calibration(variables["params"], 2, [x, x * 0.5])
+    calib = collect_calibration(variables["params"], [x, x * 0.5])
     assert calib["body"]["in1"].shape == (3, 16)
     assert calib["body"]["in2"].shape == (3, 16)
     assert calib["tail_in"].shape == (16,)
     assert np.all(calib["body"]["in1"] > 0)
     # max across batches: the x batch dominates the 0.5*x batch
-    solo = collect_calibration(variables["params"], 2, [x])
+    solo = collect_calibration(variables["params"], [x])
     np.testing.assert_allclose(calib["body"]["in1"], solo["body"]["in1"])
 
 

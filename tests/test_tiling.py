@@ -304,6 +304,30 @@ def test_auto_tile_chooser_budget_and_halo_rules():
     assert eng2._tile_hw(100, 100, 8) == (24, 30)
 
 
+def test_auto_tile_fallback_stays_positive_and_upscales():
+    """When NO 16x16 grid candidate fits the budget (huge overlap vs a
+    floored budget), the fallback square must stay positive — it used
+    to go negative (sqrt(budget) - 2*overlap) and crash _build with
+    negative pads (round-4 review).  The engine must still produce a
+    correct-shaped output, since seam/fold semantics hold for any grid."""
+    import numpy as np
+
+    from pesr_tpu.ops.tiling import BatchTiledUpscaler
+    from pesr_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    def apply_fn(variables, x):  # cheap scale-2 upsample apply
+        return pixel_shuffle(jnp.tile(x, (1, 1, 1, 4)), 2)
+
+    eng = BatchTiledUpscaler(apply_fn, {}, 2, "auto", 64)
+    eng._AUTO_PIXEL_BUDGET = 1  # floors at 136*96 = 13056 < (x+128)^2
+    th, tw = eng._tile_hw(200, 200, 1)
+    assert th >= 32 and tw >= 32, (th, tw)
+    img = np.random.default_rng(0).integers(
+        0, 256, (1, 200, 200, 3), dtype=np.uint8)
+    out = eng.upscale_batch(img)  # crops the padded grid canvas
+    assert out.shape == (1, 400, 400, 3)
+
+
 def test_self_ensemble_averages_unquantized_branches():
     """Round-2 review regression: branches must be averaged as floats
     and rounded ONCE.  Branch values 4x100.3 + 4x100.6 average to
