@@ -69,14 +69,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
         try:
             if os.path.exists(_SO) and os.path.getmtime(_SO) >= \
                     os.path.getmtime(_SRC):
-                _lib = ctypes.CDLL(_SO)
+                try:
+                    _lib = ctypes.CDLL(_SO)
+                except OSError:
+                    # A stale-but-fresh-looking .so (glibc/arch
+                    # mismatch after a clone onto a different machine)
+                    # must not strand the native path: a local rebuild
+                    # usually succeeds (round-4 review).
+                    _lib = _build()
             else:
                 _lib = _build()
         except OSError:
-            # CDLL load failure (glibc/arch mismatch on a checked-in
-            # .so, missing libpng) or a missing sampler.cpp must mean
-            # "native unavailable", not a crash in make_train_iterator
-            # — the documented contract is a clean Python fallback.
+            # CDLL load failure of a just-built .so (missing libpng)
+            # or a missing sampler.cpp must mean "native unavailable",
+            # not a crash in make_train_iterator — the documented
+            # contract is a clean Python fallback.
             _lib = None
         if _lib is None:
             _build_failed = True

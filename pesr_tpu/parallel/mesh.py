@@ -154,7 +154,12 @@ def initialize_distributed(required: bool = False) -> bool:
         jax.distributed.initialize(**kwargs)
         return True
     except Exception:
-        if required:
+        if required or coord:
+            # PESR_COORDINATOR set = explicit intent (same contract as
+            # the env-var parse above): an initialize() failure on one
+            # worker must not silently train single-host against the
+            # cluster's shared check_point dir — divergent training and
+            # clobbered checkpoints (round-4 review).
             raise
         return False  # single-host / already initialized: fine
 

@@ -108,15 +108,19 @@ def save_best_ckpt(ckpt_dir: str, step: int, g_state: Any,
 
 
 def restore_train_state(path: str, g_template: Any,
-                        d_template: Any = None):
+                        d_template: Any = None, payload: Any = None):
     """Restore full train states onto template TrainStates.
 
     Returns ``(g_state, d_state_or_None, step, best_psnr_or_None)``.
     Raises KeyError with a clear message when a discriminator state is
-    requested but the checkpoint predates the GAN phase."""
+    requested but the checkpoint predates the GAN phase.  ``payload``:
+    a pre-restored payload to reuse — resuming with --ema_decay needs
+    the same payload twice, and re-reading a flagship checkpoint
+    doubles resume I/O and the transient host-RAM spike."""
     from flax import serialization
 
-    payload = restore_payload(path)
+    if payload is None:
+        payload = restore_payload(path)
     g_state = serialization.from_state_dict(g_template, payload["g"])
     d_state = None
     if d_template is not None:
@@ -168,13 +172,17 @@ def restore_generator_params(path: str,
     return params, int(payload["step"])
 
 
-def restore_ema_params(path: str, template: Any) -> Optional[Any]:
+def restore_ema_params(path: str, template: Any,
+                       payload: Any = None) -> Optional[Any]:
     """Restore the EMA params tree onto ``template`` (a params pytree),
     or None when the checkpoint predates ``--ema_decay`` — the caller
-    then re-seeds the average from the restored raw params."""
+    then re-seeds the average from the restored raw params.
+    ``payload`` reuses a pre-restored payload (see
+    restore_train_state)."""
     from flax import serialization
 
-    payload = restore_payload(path)
+    if payload is None:
+        payload = restore_payload(path)
     if payload.get("ema") is None:
         return None
     return serialization.from_state_dict(template, payload["ema"])

@@ -245,9 +245,12 @@ def run_training(opts: Opts) -> Dict[str, float]:
 
     start_step = 0
     best_psnr = None
+    resume_payload = None
     if opts.resume:
+        resume_payload = ckpt.restore_payload(opts.check_point)
         g_state, d_state_r, start_step, best_psnr = \
-            ckpt.restore_train_state(opts.check_point, g_state, d_state)
+            ckpt.restore_train_state(opts.check_point, g_state, d_state,
+                                     payload=resume_payload)
         if d_state_r is not None:
             d_state = d_state_r
         g_state = shard_pytree_replicated(mesh, g_state)
@@ -266,7 +269,8 @@ def run_training(opts: Opts) -> Dict[str, float]:
     if use_ema:
         if opts.resume:
             ema_params = ckpt.restore_ema_params(opts.check_point,
-                                                 g_state.params)
+                                                 g_state.params,
+                                                 payload=resume_payload)
             if ema_params is None:
                 print("[ema] checkpoint has no EMA tree — re-seeding "
                       "the average from the restored params")
@@ -357,6 +361,15 @@ def run_training(opts: Opts) -> Dict[str, float]:
         if hasattr(train_iter, "close"):
             train_iter.close()
         logger.close()
+        if locals_box.get("profile_open"):
+            # An interrupt/exception inside the open trace window used
+            # to leave the profiler running (the trace silently
+            # dropped, and the interrupt save traced along); close it
+            # on EVERY exit path (round-4 review).
+            jax.profiler.stop_trace()
+            locals_box["profile_open"] = False
+            print(f"[profile] trace written to {opts.profile_dir} "
+                  "(run interrupted inside the profile window)")
     g_state, d_state = locals_box["g"], locals_box["d"]
     global_step = locals_box["step"]
 
@@ -514,7 +527,13 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
             print(f"[ckpt] saved {path}")
         # Eval + checkpointing above can take tens of seconds; reset the
         # throughput window so the first steps_per_s/mpx_per_s sample of
-        # the next epoch measures training, not eval wall time.
+        # the next epoch measures training, not eval wall time.  The
+        # un-flushed pre-boundary metrics must go WITH the window:
+        # keeping them divides a full window's step count by only the
+        # post-reset wall time (measured ~5x-inflated steps_per_s in
+        # the JSONL whenever an epoch boundary fell inside a logging
+        # window — review finding).
+        pending.clear()
         t_window = time.time()
 
     if box.get("profile_open"):

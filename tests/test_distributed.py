@@ -196,3 +196,11 @@ def test_initialize_distributed_env_config(monkeypatch):
     assert mesh_mod.initialize_distributed() is False
     with pytest.raises(RuntimeError, match="no cluster"):
         mesh_mod.initialize_distributed(required=True)
+
+    # PESR_COORDINATOR set = explicit intent: an initialize() failure
+    # raises even under required=False — one worker silently training
+    # single-host against the cluster's check_point dir would diverge
+    # and clobber (round-4 review).
+    monkeypatch.setenv("PESR_COORDINATOR", "10.0.0.1:1234")
+    with pytest.raises(RuntimeError, match="no cluster"):
+        mesh_mod.initialize_distributed(required=False)
