@@ -371,9 +371,12 @@ def opts_from_args(argv: Optional[Tuple[str, ...]] = None,
         # stepping aside for the two applies it conflicts with —
         # --use_pallas replaces the same apply (configure_generator_
         # apply raises on the explicit pair) and --unroll_body
-        # measured 2.6x SLOWER combined with the fold.
-        ns["fold_train"] = not (ns.get("use_pallas")
-                                or ns.get("unroll_body"))
+        # measured 2.6x SLOWER combined with the fold.  Train mode
+        # only: inference never reads fold_train (it has --fold), and
+        # an implicit True from test-mode parsing would surprise future
+        # inference/export consumers (round-4 advisor).
+        ns["fold_train"] = mode == "train" and not (
+            ns.get("use_pallas") or ns.get("unroll_body"))
     elif ns["fold_train"] and ns.get("unroll_body"):
         import sys as _sys
         print("WARNING: --fold_train + --unroll_body measured 2.6x "

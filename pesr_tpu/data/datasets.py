@@ -71,12 +71,22 @@ class SyntheticImages:
     in the 0.1-0.35 cycles/px band that x2 SR exists to restore.  The
     classic corpus stays the default so committed checkpoints/tables
     keep their eval distribution.
+
+    ``variant="hard_x4"`` (dataset name ``synthetic_hard_x4``, round-4
+    verdict weak #4) is the same generator with every feature scaled 4x
+    coarser: grating energy lands at ~0.044-0.12 cycles/px — BELOW the
+    x4 LR Nyquist of 0.125 — with 4-12 px strokes and 8-26 px
+    checkerboard periods, so the content is representable in an x4 LR
+    image yet destroyed by bicubic.  The x2-band ``hard`` corpus is a
+    Nyquist NEGATIVE CONTROL at x4 (its band sits above 0.125; bicubic
+    parity by design, demo/README.md); this band gives the contract
+    scale its hard-content quality row.
     """
 
     def __init__(self, num_images: int = 32, height: int = 480,
                  width: int = 480, seed: int = 0,
                  variant: str = "classic") -> None:
-        if variant not in ("classic", "hard"):
+        if variant not in ("classic", "hard", "hard_x4"):
             raise ValueError(f"unknown synthetic variant {variant!r}")
         self.num_images = num_images
         self.height, self.width = height, width
@@ -88,11 +98,12 @@ class SyntheticImages:
         return self.num_images
 
     def name(self, idx: int) -> str:
-        tag = "synthetic" if self.variant == "classic" else "synthhard"
+        tag = {"classic": "synthetic", "hard": "synthhard",
+               "hard_x4": "synthhardx4"}[self.variant]
         return f"{tag}_{idx:04d}"
 
     def _render(self, idx: int) -> np.ndarray:
-        if self.variant == "hard":
+        if self.variant in ("hard", "hard_x4"):
             return self._render_hard(idx)
         rng = np.random.default_rng(self.seed * 100003 + idx)
         h, w = self.height, self.width
@@ -122,7 +133,21 @@ class SyntheticImages:
         return (img * 255.0).round().astype(np.uint8)
 
     def _render_hard(self, idx: int) -> np.ndarray:
-        rng = np.random.default_rng(self.seed * 100003 + idx + 777001)
+        # Per-variant feature bands.  "hard" targets the x2 restoration
+        # band; "hard_x4" scales every feature ~4x coarser so the
+        # energy sits below the x4 LR Nyquist (0.125 cyc/px final).
+        # The "hard" draws are BYTE-IDENTICAL to round 4's (same rng
+        # stream, same literal ranges) — committed checkpoints and
+        # tables were trained/evaluated on those exact renders.
+        x4 = self.variant == "hard_x4"
+        # (lo, hi) in cycles/px at the 2x render; final band is 2x.
+        f_rng = (0.022, 0.06) if x4 else (0.05, 0.175)
+        per_rng = (16, 53) if x4 else (4, 13)     # checker period @2x
+        thick_rng = (8.0, 24.0) if x4 else (2.0, 6.0)   # stroke @2x
+        len_rng = (32, 240) if x4 else (8, 60)
+        strokes_rng = (15, 40) if x4 else (60, 120)
+        rng = np.random.default_rng(self.seed * 100003 + idx
+                                    + (778002 if x4 else 777001))
         # Render at 2x, then 2x2 area-average: edges/strokes come out
         # antialiased (camera-like) instead of aliased 1-px staircases.
         h2, w2 = self.height * 2, self.width * 2
@@ -137,10 +162,11 @@ class SyntheticImages:
             img += rng.uniform(0.05, 0.2) * g[:, :, None] \
                 * rng.uniform(0.3, 1.0, 3)
 
-        # Windowed oriented gratings: energy at 0.1-0.35 cycles/px in
-        # FINAL-resolution units (x0.5 here pre-downsample).
+        # Windowed oriented gratings: energy at 2*f_rng cycles/px in
+        # FINAL-resolution units (x0.5 here pre-downsample) — 0.1-0.35
+        # for "hard", 0.044-0.12 (sub-x4-Nyquist) for "hard_x4".
         for _ in range(6):
-            f = rng.uniform(0.05, 0.175)      # cycles/px at 2x res
+            f = rng.uniform(*f_rng)           # cycles/px at 2x res
             theta = rng.uniform(0, np.pi)
             cy, cx = rng.uniform(0.1, 0.9) * h2, rng.uniform(0.1, 0.9) * w2
             sig = rng.uniform(0.04, 0.15) * h2
@@ -174,7 +200,7 @@ class SyntheticImages:
                                       max(49, h2 // 4))), h2 - y0)
             pw = min(int(rng.integers(min(48, max(2, w2 // 4) - 1),
                                       max(49, w2 // 4))), w2 - x0)
-            per = int(rng.integers(4, 13))
+            per = int(rng.integers(*per_rng))
             ys, xs = np.mgrid[0:ph, 0:pw]
             board = (((ys // per) + (xs // per)) % 2).astype(np.float64)
             img[y0:y0 + ph, x0:x0 + pw] += (
@@ -184,14 +210,14 @@ class SyntheticImages:
         # Text-like glyph strokes: short high-contrast segments with
         # 2-6 px thickness (1-3 px final), drawn via distance-to-segment
         # inside each stroke's bounding box.
-        n_strokes = int(rng.integers(60, 120))
+        n_strokes = int(rng.integers(*strokes_rng))
         for _ in range(n_strokes):
             y0, x0 = rng.uniform(0, h2), rng.uniform(0, w2)
-            length = rng.uniform(8, 60)
+            length = rng.uniform(*len_rng)
             t = rng.uniform(0, np.pi)
             y1 = np.clip(y0 + length * np.sin(t), 0, h2 - 1)
             x1 = np.clip(x0 + length * np.cos(t), 0, w2 - 1)
-            thick = rng.uniform(2.0, 6.0)
+            thick = rng.uniform(*thick_rng)
             lo_y, hi_y = int(max(0, min(y0, y1) - thick - 1)), \
                 int(min(h2, max(y0, y1) + thick + 1))
             lo_x, hi_x = int(max(0, min(x0, x1) - thick - 1)), \
@@ -460,12 +486,15 @@ class Prefetcher:
 # --------------------------------------------------------------------------
 
 
+_SYNTH_VARIANTS = {"synthetic": "classic", "synthetic_hard": "hard",
+                   "synthetic_hard_x4": "hard_x4"}
+
+
 def _resolve_train_source(opts) -> object:
     name = opts.train_dataset.lower()
-    if name in ("synthetic", "synthetic_hard"):
-        return SyntheticImages(
-            num_images=32, seed=opts.seed,
-            variant="hard" if name == "synthetic_hard" else "classic")
+    if name in _SYNTH_VARIANTS:
+        return SyntheticImages(num_images=32, seed=opts.seed,
+                               variant=_SYNTH_VARIANTS[name])
     if name == "natural":
         # Real-photo fine-tuning corpus; the metric holdout photo stays
         # out of training so it is unseen by models AND metrics.
@@ -611,13 +640,12 @@ def load_eval_set(opts, dataset: Optional[str] = None,
     """
     name = dataset or opts.test_dataset
     samples: List[EvalSample] = []
-    if name.lower() in ("synthetic", "synthetic_hard", "natural"):
+    if name.lower() in _SYNTH_VARIANTS or name.lower() == "natural":
         src = (NaturalImages(include_holdout=True)
                if name.lower() == "natural"
                else SyntheticImages(
                    num_images=max_images or 5, seed=opts.seed + 1,
-                   variant=("hard" if name.lower() == "synthetic_hard"
-                            else "classic")))
+                   variant=_SYNTH_VARIANTS[name.lower()]))
         n = len(src) if max_images is None else min(len(src), max_images)
         for i in range(n):
             hr = src.get(i)

@@ -122,10 +122,16 @@ def initialize_distributed(required: bool = False) -> bool:
       2. jax's own auto-detection (TPU pods, SLURM, Open MPI).
 
     ``required=False`` (default) is safe to call unconditionally — on
-    single-host setups with no coordinator configured it is a no-op.
+    single-host setups with no coordinator configured it is a no-op,
+    and on an ALREADY-initialized runtime (a second call in the same
+    process, coordinator env vars set or not) it returns True instead
+    of propagating jax's "already initialized" error (round-4 advisor:
+    the coord-set path used to raise through required=False).
     ``required=True`` (the ``--distributed`` flag) re-raises so a
     mis-configured cluster fails loudly instead of silently training
     single-host."""
+    if jax.distributed.is_initialized():
+        return True
     kwargs = {}
     coord = os.environ.get("PESR_COORDINATOR", "")
     if coord:

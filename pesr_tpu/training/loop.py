@@ -400,6 +400,29 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
     t_window = box["t_window"]
     start_epoch = start_step // max(opts.steps_per_epoch, 1)
 
+    def _flush_pending(step: int) -> None:
+        """Average + log the pending step metrics and reset the
+        throughput window.  Called at every log_every boundary AND at
+        each epoch boundary: the old epoch-end ``pending.clear()``
+        silently dropped up to log_every-1 steps' loss/psnr scalars
+        per epoch whenever log_every did not divide steps_per_epoch
+        (round-4 advisor).  Flushing BEFORE eval/checkpointing keeps
+        the throughput sample honest too — the window closes on
+        training wall time only."""
+        nonlocal t_window
+        if not pending:
+            return
+        avg = {k: float(np.mean([np.asarray(m[k]) for m in pending]))
+               for k in pending[0]}
+        now = time.time()
+        window = max(now - t_window, 1e-9)
+        t_window = now
+        avg["steps_per_s"] = len(pending) / window
+        avg["mpx_per_s"] = (len(pending) * opts.batch_size
+                            * opts.hr_patch_size ** 2 / window / 1e6)
+        logger.log(step, avg, prefix=opts.phase)
+        pending.clear()
+
     for epoch in range(start_epoch, opts.num_epochs):
         # Step to the epoch BOUNDARY (not a fixed count): resuming from
         # a mid-epoch interrupt checkpoint must not overshoot the
@@ -445,20 +468,13 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                 print(f"[profile] trace written to {opts.profile_dir}")
             if opts.log_every > 0:  # 0 = logging off: don't accumulate
                 pending.append(metrics)
-            if opts.log_every > 0 and global_step % opts.log_every == 0:
-                avg = {k: float(np.mean([np.asarray(m[k])
-                                         for m in pending]))
-                       for k in pending[0]}
-                now = time.time()
-                window = max(now - t_window, 1e-9)
-                t_window = now
-                avg["steps_per_s"] = len(pending) / window
-                avg["mpx_per_s"] = (len(pending) * opts.batch_size
-                                    * opts.hr_patch_size ** 2
-                                    / window / 1e6)
-                logger.log(global_step, avg, prefix=opts.phase)
-                pending.clear()
+                if global_step % opts.log_every == 0:
+                    _flush_pending(global_step)
 
+        # Flush the partial logging window BEFORE eval/checkpointing:
+        # the scalars reach the JSONL (they used to be dropped) and the
+        # throughput sample closes on training time, not eval time.
+        _flush_pending(global_step)
         # 0 = off for the every-N knobs (the repo's flag convention);
         # modulo-by-zero used to crash the loop at the first epoch end.
         if opts.eval_every > 0 and (epoch + 1) % opts.eval_every == 0:
@@ -527,13 +543,8 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
             print(f"[ckpt] saved {path}")
         # Eval + checkpointing above can take tens of seconds; reset the
         # throughput window so the first steps_per_s/mpx_per_s sample of
-        # the next epoch measures training, not eval wall time.  The
-        # un-flushed pre-boundary metrics must go WITH the window:
-        # keeping them divides a full window's step count by only the
-        # post-reset wall time (measured ~5x-inflated steps_per_s in
-        # the JSONL whenever an epoch boundary fell inside a logging
-        # window — review finding).
-        pending.clear()
+        # the next epoch measures training, not eval wall time (pending
+        # is already empty — _flush_pending ran before the eval block).
         t_window = time.time()
 
     if box.get("profile_open"):

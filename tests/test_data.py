@@ -34,6 +34,8 @@ def test_synthetic_renders_pinned_across_code_versions():
                    "19dc349129dc65170305bd57564bf7a5",
         "hard": "fe1e105d0c6dcb94e0c29aac3c9a2349"
                 "43f998c1a9bc23b4e5b14554d2eecc70",
+        "hard_x4": "7c3752b93d2550b4b3322268415c22ac"
+                   "f697f9970d0887cbe7b823aa13fe7b37",
     }
     for variant, want in PINS.items():
         img = SyntheticImages(1, 480, 480, variant=variant).get(0)
@@ -45,11 +47,51 @@ def test_synthetic_hard_renders_at_small_canvases():
     (rng.integers low >= high) for height/width <= 96; the clamps must
     keep every small canvas legal (and the pin above proves they left
     the default renders byte-identical)."""
-    for variant in ("classic", "hard"):
+    for variant in ("classic", "hard", "hard_x4"):
         for size in (32, 48, 64, 96):
             img = SyntheticImages(1, size, size, variant=variant).get(0)
             assert img.shape == (size, size, 3)
             assert img.dtype == np.uint8
+
+
+def test_synthetic_hard_x4_band_sits_below_x4_nyquist():
+    """The hard_x4 corpus exists to give the contract scale (x4) a
+    hard-content quality row (round-4 verdict weak #4): its feature
+    energy must sit BELOW the x4 LR Nyquist (0.125 cycles/px) so a
+    learned x4 model can restore it — unlike ``hard``, whose 0.1-0.35
+    band makes x4 a negative control.  Pin the spectral contract: the
+    restorable band (0.044-0.125 cyc/px) carries >4x the energy share
+    it does in ``hard``, and <10% of total energy sits above Nyquist."""
+    def shares(img):
+        g = img.mean(-1).astype(np.float64)
+        g -= g.mean()
+        F = np.abs(np.fft.rfft2(g)) ** 2
+        fy = np.fft.fftfreq(g.shape[0])[:, None]
+        fx = np.fft.rfftfreq(g.shape[1])[None, :]
+        r = np.hypot(fy, fx)
+        tot = F.sum()
+        band = F[(r >= 0.044) & (r < 0.125)].sum() / tot
+        above = F[r >= 0.125].sum() / tot
+        return band, above
+
+    x4_band, x4_above = shares(
+        SyntheticImages(1, 480, 480, variant="hard_x4").get(0))
+    h_band, _ = shares(SyntheticImages(1, 480, 480, variant="hard").get(0))
+    assert x4_band > 4 * h_band, (x4_band, h_band)
+    assert x4_above < 0.10, x4_above
+
+
+def test_synthetic_hard_x4_resolves_as_dataset_name():
+    """--train_dataset/--test_dataset synthetic_hard_x4 must reach the
+    new variant through both resolvers (train source + eval set)."""
+    from pesr_tpu.data.datasets import _resolve_train_source
+
+    opts = Opts(train_dataset="synthetic_hard_x4", scale=4)
+    src = _resolve_train_source(opts)
+    assert isinstance(src, SyntheticImages) and src.variant == "hard_x4"
+    samples = load_eval_set(opts, "synthetic_hard_x4", 2)
+    assert len(samples) == 2
+    assert samples[0].name.startswith("synthhardx4_")
 
 
 def test_patch_iterator_synthesized_lr_alignment():

