@@ -17,8 +17,9 @@ scores now live on natural-image statistics, and every model npz embeds
 a provenance string that pirm.py surfaces in its JSON output.
 
 Validation printed at the end (and pinned in
-tests/test_natural_metrics.py) uses the registry's HOLDOUT photograph —
-a real webcam image the fits never see."""
+tests/test_natural_metrics.py) sweeps the registry's HOLDOUT
+photographs — three images the fits never see (round 5: the webcam
+photo, the disk-sweep tile photograph, and the promoted marble1)."""
 
 from __future__ import annotations
 
@@ -46,7 +47,7 @@ def main(argv=None) -> int:
 
     from pesr_tpu.metrics.fit_ma import (crops_from_images,
                                          degradation_ladder, fit_ma_model)
-    from pesr_tpu.metrics.natural_images import (load_holdout_image,
+    from pesr_tpu.metrics.natural_images import (load_holdout_images,
                                                  load_natural_images)
     from pesr_tpu.metrics.niqe import NiqeModel, fit_niqe_model, niqe
 
@@ -80,33 +81,39 @@ def main(argv=None) -> int:
     ma_model.save(args.ma_out)
     print(f"saved Ma forest -> {args.ma_out}")
 
-    # ---- held-out validation: the never-fitted webcam photograph ----
-    holdout = load_holdout_image()
+    # ---- held-out validation: the never-fitted photographs (round 5
+    # widened the holdout set to three) ----
+    holdouts = load_holdout_images()
     rc = 0
-    if holdout is None:
-        print("holdout image unavailable; skipping validation")
+    if not holdouts:
+        print("no holdout images available; skipping validation")
         return rc
     niqe_m = NiqeModel.load(args.niqe_out)
-    ladder = degradation_ladder(holdout, np.random.default_rng(0))
-    n_scores = {}
-    for variant, score in (ladder[0], ladder[5], ladder[7]):
-        n_scores[score] = niqe(variant, niqe_m)
-    print(f"holdout NIQE: pristine {n_scores[9.5]:.2f}  "
-          f"x4-up {n_scores[3.5]:.2f}  blur {n_scores[1.5]:.2f}")
-    if not n_scores[9.5] < n_scores[3.5] < n_scores[1.5]:
-        print("WARNING: NIQE degradation ordering violated on holdout")
-        rc = 1
-    crop_hold = crops_from_images([holdout], crop=args.crop,
-                                  max_crops_per_image=1)
-    if crop_hold:
-        lad = degradation_ladder(crop_hold[0], np.random.default_rng(0))
-        s_hr, s_mid, s_bad = (ma_model(lad[0][0]), ma_model(lad[5][0]),
-                              ma_model(lad[7][0]))
-        print(f"holdout Ma: pristine {s_hr:.2f}  x4-up {s_mid:.2f}  "
-              f"blur {s_bad:.2f}")
-        if not s_hr > s_mid > s_bad:
-            print("WARNING: Ma degradation ordering violated on holdout")
+    for hname, holdout in holdouts:
+        ladder = degradation_ladder(holdout, np.random.default_rng(0))
+        n_scores = {}
+        for variant, score in (ladder[0], ladder[5], ladder[7]):
+            n_scores[score] = niqe(variant, niqe_m)
+        print(f"holdout[{hname}] NIQE: pristine {n_scores[9.5]:.2f}  "
+              f"x4-up {n_scores[3.5]:.2f}  blur {n_scores[1.5]:.2f}")
+        if not n_scores[9.5] < n_scores[3.5] < n_scores[1.5]:
+            print(f"WARNING: NIQE degradation ordering violated on "
+                  f"holdout {hname}")
             rc = 1
+        crop_hold = crops_from_images([holdout], crop=args.crop,
+                                      max_crops_per_image=1)
+        if crop_hold:
+            lad = degradation_ladder(crop_hold[0],
+                                     np.random.default_rng(0))
+            s_hr, s_mid, s_bad = (ma_model(lad[0][0]),
+                                  ma_model(lad[5][0]),
+                                  ma_model(lad[7][0]))
+            print(f"holdout[{hname}] Ma: pristine {s_hr:.2f}  "
+                  f"x4-up {s_mid:.2f}  blur {s_bad:.2f}")
+            if not s_hr > s_mid > s_bad:
+                print(f"WARNING: Ma degradation ordering violated on "
+                      f"holdout {hname}")
+                rc = 1
     print("ok" if rc == 0 else "completed with ordering warnings")
     return rc
 

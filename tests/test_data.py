@@ -317,7 +317,8 @@ def test_natural_train_source_excludes_holdout():
     src = _resolve_train_source(Opts(train_dataset="natural"))
     assert isinstance(src, NaturalImages)
     names = {src.name(i) for i in range(len(src))}
-    assert "camera_rgb" not in names
+    # All three round-5 holdouts stay unseen by models AND metrics.
+    assert not names & {"camera_rgb", "white_marble_tile2", "marble1"}
     assert len(names) >= 10
     # Patch sampling works on the smallest registered photo.
     it = PatchIterator(src, patch_size=48, scale=4, batch_size=2, seed=0)

@@ -36,6 +36,19 @@ def test_holdout_never_in_fit_set():
     fit_names = {e.name for e in ni.REGISTRY if not e.holdout}
     hold_names = {e.name for e in ni.REGISTRY if e.holdout}
     assert hold_names and not (fit_names & hold_names)
+    # Round 5 widened the holdout set to three (verdict r4 #8): the
+    # webcam scene, the disk-sweep tile photo, and the promoted marble1.
+    assert hold_names == {"camera_rgb", "white_marble_tile2", "marble1"}
+
+
+_HOLDOUT_NAMES = ["camera_rgb", "white_marble_tile2", "marble1"]
+
+
+def _holdout(name):
+    for hname, img in ni.load_holdout_images():
+        if hname == name:
+            return img
+    return None
 
 
 @pytest.fixture()
@@ -83,12 +96,13 @@ def test_ma_default_prefers_natural_forest(_clean_env):
     assert "natural-image-fitted" in ma_mod.ma_provenance()
 
 
-def test_niqe_ordering_on_holdout_photo(_clean_env):
-    """Pristine < bicubic-x4-up < heavy blur on the never-fitted webcam
-    photo, under the natural-fitted pristine model."""
-    holdout = ni.load_holdout_image()
+@pytest.mark.parametrize("name", _HOLDOUT_NAMES)
+def test_niqe_ordering_on_holdout_photo(name, _clean_env):
+    """Pristine < bicubic-x4-up < heavy blur on each never-fitted
+    holdout photograph, under the natural-fitted pristine model."""
+    holdout = _holdout(name)
     if holdout is None:
-        pytest.skip("holdout image not installed here")
+        pytest.skip(f"holdout {name} not installed here")
     from pesr_tpu.metrics.fit_ma import degradation_ladder
     from pesr_tpu.metrics.niqe import NiqeModel, niqe
     model = NiqeModel.load(_NATURAL_NIQE)
@@ -96,13 +110,14 @@ def test_niqe_ordering_on_holdout_photo(_clean_env):
     pristine = niqe(ladder[0][0], model)
     x4up = niqe(ladder[5][0], model)
     blur = niqe(ladder[7][0], model)
-    assert pristine < x4up < blur, (pristine, x4up, blur)
+    assert pristine < x4up < blur, (name, pristine, x4up, blur)
 
 
-def test_ma_ordering_on_holdout_photo(_clean_env):
-    holdout = ni.load_holdout_image()
+@pytest.mark.parametrize("name", _HOLDOUT_NAMES)
+def test_ma_ordering_on_holdout_photo(name, _clean_env):
+    holdout = _holdout(name)
     if holdout is None:
-        pytest.skip("holdout image not installed here")
+        pytest.skip(f"holdout {name} not installed here")
     from pesr_tpu.metrics.fit_ma import (crops_from_images,
                                          degradation_ladder)
     from pesr_tpu.metrics.ma_features import load_ma_model
@@ -113,7 +128,7 @@ def test_ma_ordering_on_holdout_photo(_clean_env):
     s_hr = model(ladder[0][0])
     s_mid = model(ladder[5][0])
     s_bad = model(ladder[7][0])
-    assert s_hr > s_mid > s_bad, (s_hr, s_mid, s_bad)
+    assert s_hr > s_mid > s_bad, (name, s_hr, s_mid, s_bad)
 
 
 def test_crops_from_images_grid():

@@ -335,6 +335,10 @@ def test_initialize_distributed_required_semantics(monkeypatch):
 
     class FakeDistributed:
         @staticmethod
+        def is_initialized():
+            return False
+
+        @staticmethod
         def initialize():
             calls.append("init")
 
@@ -344,6 +348,10 @@ def test_initialize_distributed_required_semantics(monkeypatch):
 
     class FailingDistributed:
         @staticmethod
+        def is_initialized():
+            return False
+
+        @staticmethod
         def initialize():
             raise RuntimeError("no coordinator")
 
@@ -351,6 +359,21 @@ def test_initialize_distributed_required_semantics(monkeypatch):
     assert initialize_distributed(required=False) is False
     with pytest.raises(RuntimeError, match="no coordinator"):
         initialize_distributed(required=True)
+
+    class AlreadyInitialized:
+        @staticmethod
+        def is_initialized():
+            return True
+
+        @staticmethod
+        def initialize():
+            raise RuntimeError("already initialized")
+
+    # Round-4 advisor fix: a second call on an initialized runtime is a
+    # True no-op under BOTH strictness levels (never re-initializes).
+    monkeypatch.setattr(mesh_mod.jax, "distributed", AlreadyInitialized)
+    assert initialize_distributed(required=False) is True
+    assert initialize_distributed(required=True) is True
 
 
 @pytest.mark.slow
