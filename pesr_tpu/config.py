@@ -92,6 +92,9 @@ class Opts:
     check_point: str = "check_point/pesr"
     snapshot_every: int = 10      # epochs between checkpoint snapshots
                                   # (0 = end-of-training save only)
+    keep_snapshots: int = 0       # retain only the newest N step_<K>
+                                  # snapshot dirs (0 = keep all; the
+                                  # ``best`` copy is never pruned)
     log_every: int = 50           # steps between scalar logs (0 = off)
     eval_every: int = 1           # epochs between self-validation evals
                                   # (0 = off)
@@ -267,6 +270,10 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
         g = p.add_argument_group("checkpointing")
         g.add_argument("--check_point", type=str, default=d.check_point)
         g.add_argument("--snapshot_every", type=int, default=d.snapshot_every)
+        g.add_argument("--keep_snapshots", type=int,
+                       default=d.keep_snapshots,
+                       help="retain only the newest N snapshot dirs "
+                       "(0 = keep all; 'best' is never pruned)")
         g.add_argument("--log_every", type=int, default=d.log_every)
         g.add_argument("--eval_every", type=int, default=d.eval_every)
         _add_bool_flag(g, "eval_pi", d.eval_pi,

@@ -92,6 +92,32 @@ def save_train_ckpt(ckpt_dir: str, step: int, g_state: Any,
     return path
 
 
+def prune_snapshots(ckpt_dir: str, keep: int) -> list:
+    """Remove the oldest ``step_<N>`` directories beyond the newest
+    ``keep`` (checkpoint rotation over long runs, SURVEY.md §5.4 — the
+    reference saves per epoch, which over hundreds of epochs needs a
+    retention bound).  The ``best`` copy is never touched; ``keep <= 0``
+    keeps everything.  Returns the pruned paths.
+
+    Multi-host: call on process 0 only — the step dirs live on the
+    primary host's filesystem (orbax restricts writes there) and removal
+    is plain local IO, not a collective."""
+    if keep <= 0:
+        return []
+    ckpt_dir = _to_abs(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return []
+    steps = sorted((int(m.group(1)), e) for e in os.listdir(ckpt_dir)
+                   if (m := _STEP_RE.match(e)))
+    pruned = []
+    for _, entry in steps[:-keep] if len(steps) > keep else []:
+        path = os.path.join(ckpt_dir, entry)
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        pruned.append(path)
+    return pruned
+
+
 def save_best_ckpt(ckpt_dir: str, step: int, g_state: Any,
                    d_state: Any = None,
                    best_psnr: Optional[float] = None,

@@ -541,6 +541,15 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
                                         best_psnr=box.get("best_psnr"),
                                         ema_params=ema_params)
             print(f"[ckpt] saved {path}")
+            # Rotation (--keep_snapshots): bound disk growth over long
+            # runs.  Plain local IO on the primary host, after the
+            # collective save completes on every process.
+            if opts.keep_snapshots > 0 and jax.process_index() == 0:
+                pruned = ckpt.prune_snapshots(opts.check_point,
+                                              opts.keep_snapshots)
+                if pruned:
+                    print(f"[ckpt] pruned {len(pruned)} old snapshot(s)"
+                          f" (keep_snapshots={opts.keep_snapshots})")
         # Eval + checkpointing above can take tens of seconds; reset the
         # throughput window so the first steps_per_s/mpx_per_s sample of
         # the next epoch measures training, not eval wall time (pending

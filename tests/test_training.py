@@ -3,6 +3,7 @@ loss-decrease smoke test", "1-step GAN train step shape/grad-flow test",
 "distributed-without-a-cluster" DP equivalence)."""
 
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -270,6 +271,43 @@ def test_every_n_knobs_accept_zero_as_off(tmp_path):
     summary = run_training(opts)
     assert summary["steps"] == 2
     assert latest_step_dir(str(tmp_path / "exp"))  # final save happened
+
+
+def test_prune_snapshots_unit(tmp_path):
+    """prune_snapshots removes the OLDEST step dirs beyond keep, never
+    'best', and keep<=0 is a no-op (round-5 checkpoint rotation)."""
+    from pesr_tpu.training.checkpoint import prune_snapshots
+    exp = tmp_path / "exp"
+    for step in (10, 2, 30, 400):
+        (exp / f"step_{step}").mkdir(parents=True)
+    (exp / "best").mkdir()
+    (exp / "step_2" / "payload").write_text("x")  # non-empty dir
+    assert prune_snapshots(str(exp), 0) == []
+    pruned = prune_snapshots(str(exp), 2)
+    assert sorted(os.path.basename(p) for p in pruned) == \
+        ["step_10", "step_2"]
+    left = sorted(os.listdir(exp))
+    assert left == ["best", "step_30", "step_400"]
+    assert prune_snapshots(str(exp), 2) == []  # already at bound
+    assert prune_snapshots(str(tmp_path / "missing"), 2) == []
+
+
+def test_keep_snapshots_rotates_in_the_loop(tmp_path):
+    """--keep_snapshots N bounds the step-dir count across epochs while
+    the final snapshot and best-checkpoint machinery keep working."""
+    from pesr_tpu.training.checkpoint import latest_step_dir
+    from pesr_tpu.training.loop import run_training
+    opts = dataclasses.replace(
+        TINY, phase="pretrain", steps_per_epoch=2, batch_size=8,
+        num_epochs=3, train_dataset="synthetic",
+        valid_dataset="synthetic", eval_every=0, snapshot_every=1,
+        keep_snapshots=1, log_every=0, check_point=str(tmp_path / "exp"))
+    summary = run_training(opts)
+    assert summary["steps"] == 6
+    dirs = [d for d in os.listdir(tmp_path / "exp")
+            if d.startswith("step_")]
+    assert dirs == ["step_6"], dirs  # epochs 1+2 snapshots pruned
+    assert latest_step_dir(str(tmp_path / "exp")).endswith("step_6")
 
 
 @pytest.mark.slow
