@@ -145,14 +145,16 @@ def _export_forest(forest, prefix: str) -> Dict[str, np.ndarray]:
     }
 
 
-def fit_ma_model(num_images: int = 24, n_trees: int = 12,
-                 max_depth: int = 7, seed: int = 77,
-                 hr_images: Optional[List[np.ndarray]] = None,
-                 provenance: Optional[str] = None) -> MaModel:
+def fit_forests(x: Dict[str, np.ndarray], y: np.ndarray,
+                n_trees: int = 12, max_depth: int = 7, seed: int = 77,
+                provenance: Optional[str] = None) -> MaModel:
+    """Fit the per-group forests from already-extracted feature
+    matrices (``build_training_set`` output).  Split from
+    :func:`fit_ma_model` so resampling studies
+    (benchmarks/pi_precision.py) can refit many times on row-resampled
+    features without re-running the feature pipeline."""
     from sklearn.ensemble import RandomForestRegressor
 
-    x, y = build_training_set(num_images=num_images, seed=seed,
-                              hr_images=hr_images)
     arrays: Dict[str, np.ndarray] = {}
     for g in _GROUPS:
         forest = RandomForestRegressor(
@@ -166,6 +168,16 @@ def fit_ma_model(num_images: int = 24, n_trees: int = 12,
         "deterministic synthetic corpus (fit_ma.py) — ordering-faithful "
         "for SR degradations, NOT published-Ma comparable"))
     return MaModel(arrays)
+
+
+def fit_ma_model(num_images: int = 24, n_trees: int = 12,
+                 max_depth: int = 7, seed: int = 77,
+                 hr_images: Optional[List[np.ndarray]] = None,
+                 provenance: Optional[str] = None) -> MaModel:
+    x, y = build_training_set(num_images=num_images, seed=seed,
+                              hr_images=hr_images)
+    return fit_forests(x, y, n_trees=n_trees, max_depth=max_depth,
+                       seed=seed, provenance=provenance)
 
 
 def main(argv=None) -> int:

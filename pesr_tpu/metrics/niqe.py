@@ -257,10 +257,12 @@ def _default_model() -> NiqeModel:
     return model
 
 
-def niqe(img: np.ndarray, model: Optional[NiqeModel] = None) -> float:
-    """NIQE score of one image (lower = more natural)."""
-    model = model or _default_model()
-    feats = extract_niqe_features(img)
+def niqe_from_features(feats: np.ndarray, model: NiqeModel) -> float:
+    """NIQE score from a precomputed [n_blocks, 36] feature matrix
+    (``extract_niqe_features`` output).  Split from :func:`niqe` so
+    resampling studies (benchmarks/pi_precision.py) can score one
+    image's cached features against many refit pristine models without
+    re-running the MSCN/AGGD pipeline per model."""
     feats = feats[np.isfinite(feats).all(axis=1)]
     if feats.shape[0] == 0:
         raise ValueError("no finite NIQE feature blocks in image")
@@ -273,6 +275,12 @@ def niqe(img: np.ndarray, model: Optional[NiqeModel] = None) -> float:
     pooled = (model.cov + cov_t) / 2.0
     diff = model.mu - mu_t
     return float(np.sqrt(diff @ np.linalg.pinv(pooled) @ diff))
+
+
+def niqe(img: np.ndarray, model: Optional[NiqeModel] = None) -> float:
+    """NIQE score of one image (lower = more natural)."""
+    model = model or _default_model()
+    return niqe_from_features(extract_niqe_features(img), model)
 
 
 def main(argv=None) -> int:

@@ -60,8 +60,22 @@ def evaluate_dir(path: str, niqe_model: Optional[NiqeModel] = None,
     # approximation-backed numbers must be self-describing — a consumer
     # of this JSON can't otherwise tell them from published-comparable
     # scores.
+    #
+    # Spread fields (round-4 verdict #5): the mean PI is an estimate
+    # over a finite image set; pi_std is the per-image population std
+    # and pi_sem the standard error of the mean (= the image-sampling
+    # half of the instrument's precision — the model-refit half is
+    # measured by benchmarks/pi_precision.py and recorded in
+    # PARITY.md).  A PI *difference* between two engines evaluated on
+    # the SAME images is paired, so its resolution is much finer than
+    # pi_sem suggests; pi_sem bounds comparisons across image sets.
+    n = len(files)
     return {"pi": float(np.mean(pis)), "niqe": float(np.mean(niqes)),
-            "ma": float(np.mean(mas)), "n_images": len(files),
+            "ma": float(np.mean(mas)), "n_images": n,
+            "pi_std": float(np.std(pis)),
+            "pi_sem": float(np.std(pis) / np.sqrt(n)),
+            "niqe_std": float(np.std(niqes)),
+            "ma_std": float(np.std(mas)),
             "niqe_model": (niqe_model or _default_model()).provenance,
             "ma_model": ma_provenance()}
 
