@@ -62,9 +62,18 @@ def _time(fn, *args, reps: int = 10) -> float:
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--reps", type=int, default=10)
-    p.add_argument("--out", default=os.path.join(
-        REPO, "benchmarks", "x8_probe_r4.json"))
+    p.add_argument("--scale", type=int, default=8,
+                   help="probe any supported scale at bench shapes "
+                   "(round-4 verdict #7 runs this at the contract "
+                   "scale x4, where the engine splits each image into "
+                   "a tile grid — components are timed at the REAL "
+                   "flattened tile-batch shape the engine dispatches)")
+    p.add_argument("--out", default="")
     args = p.parse_args()
+    if not args.out:
+        args.out = os.path.join(
+            REPO, "benchmarks",
+            f"x{args.scale}_probe_r{'4' if args.scale == 8 else '5'}.json")
 
     if os.environ.get("X8_CPU"):  # script smoke without the chip
         from pesr_tpu.parallel import force_cpu_devices
@@ -87,7 +96,7 @@ def main() -> int:
 
     # X8_BLOCKS/X8_CHANNELS/X8_BATCH: tiny-model CPU smoke of the probe
     # itself (the committed numbers use the flagship defaults on-chip).
-    scale = 8
+    scale = args.scale
     blocks = int(os.environ.get("X8_BLOCKS", "32"))
     channels = int(os.environ.get("X8_CHANNELS", "256"))
     b = int(os.environ.get("X8_BATCH", "8"))
@@ -119,13 +128,22 @@ def main() -> int:
     res["derived"]["engine_mps"] = round(out_mp / (ms_engine / 1e3), 1)
 
     # --- the padded tile-batch shape the engine dispatches ----------
+    # At x8 the auto chooser covers the image with ONE tile; at x4 it
+    # splits a grid and flattens [n_tiles*b, ...] into one dispatch —
+    # the components must be timed at THAT batch or the attribution
+    # compares different MXU utilization points.
+    import math
     th, tw = eng._tile_hw(lr_h, lr_w, b=b)
-    halo = apply_fn.min_halo
-    ph, pw = th + 2 * halo, tw + 2 * halo
+    th, tw = min(th, lr_h), min(tw, lr_w)
+    nh, nw = math.ceil(lr_h / th), math.ceil(lr_w / tw)
+    ov_h, ov_w = eng._ov_for(nh), eng._ov_for(nw)
+    ph, pw = th + 2 * ov_h, tw + 2 * ov_w
+    cb = b * nh * nw  # flattened tile batch
     res["shapes"] = {"lr": [lr_h, lr_w], "tile": [th, tw],
-                     "min_halo": halo, "padded": [ph, pw], "batch": b}
+                     "grid": [nh, nw], "halo": [ov_h, ov_w],
+                     "padded": [ph, pw], "batch": b, "tile_batch": cb}
     x = jnp.asarray(
-        rng.normal(0, 0.5, (b, ph, pw, 3)).astype(np.float32)
+        rng.normal(0, 0.5, (cb, ph, pw, 3)).astype(np.float32)
     ).astype(jnp.bfloat16)
     _ = np.asarray(x[0, 0, 0, 0])
 
@@ -201,7 +219,7 @@ def main() -> int:
     c = channels
     n_convs = 2 * blocks
     w8 = jnp.asarray(rng.integers(-127, 128, (3, 3, c, c)), jnp.int8)
-    xq0 = jnp.asarray(rng.integers(-127, 128, (b, ph, pw, c)),
+    xq0 = jnp.asarray(rng.integers(-127, 128, (cb, ph, pw, c)),
                       jnp.int8)
     _ = np.asarray(xq0[0, 0, 0, 0])
 
@@ -220,7 +238,7 @@ def main() -> int:
     res["components_ms"][f"mxu_{n_convs}convs"] = round(ms_mxu, 3)
 
     # --- derived attribution -----------------------------------------
-    px = b * ph * pw
+    px = cb * ph * pw
     conv_flop = n_convs * 2 * 9 * c * c * px
     res["derived"]["mxu_tops_at_shape"] = round(
         conv_flop / (ms_mxu / 1e3) / 1e12, 1)
