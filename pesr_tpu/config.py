@@ -189,8 +189,10 @@ def _tile_size(value: str):
 def _add_bool_flag(parser: argparse.ArgumentParser, name: str, default: bool,
                    help_: str) -> None:
     """A PESR-style on/off flag plus a --no_ counterpart."""
+    # argparse %-interpolates help text; a literal "%" in prose (e.g.
+    # "+5% measured") crashes --help with a ValueError unless escaped.
     parser.add_argument(f"--{name}", dest=name, action="store_true",
-                        default=default, help=help_)
+                        default=default, help=help_.replace("%", "%%"))
     parser.add_argument(f"--no_{name}", dest=name, action="store_false",
                         help=argparse.SUPPRESS)
 

@@ -141,3 +141,13 @@ def test_opts_hashable_and_static_jit_safe():
     assert hash(o1) != hash(o2) or o1 != o2
     d = {o1: 1, o2: 2}
     assert len(d) == 2
+
+
+def test_help_text_renders_in_both_modes():
+    """argparse %-interpolates help strings; literal '%' in flag prose
+    (e.g. '+5% measured') crashed --help with a ValueError until
+    _add_bool_flag escaped it.  format_help() is what --help prints."""
+    from pesr_tpu.config import build_parser
+    for mode in ("train", "test"):
+        text = build_parser(mode).format_help()
+        assert "--scale" in text
