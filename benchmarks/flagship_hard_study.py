@@ -38,17 +38,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 ARTIFACTS = os.path.join(REPO, "bench_artifacts")
 
 
-def _opts(scale: int, steps: int, ckpt: str):
+def _opts(scale: int, steps: int, ckpt: str, dataset: str):
     from pesr_tpu.config import Opts
     return Opts(
         phase="pretrain", scale=scale, num_blocks=32, num_channels=256,
         batch_size=16, patch_size=48 if scale <= 4 else 24,
         steps_per_epoch=steps, num_epochs=1, snapshot_every=1,
-        eval_every=99, log_every=200, train_dataset="synthetic_hard",
-        valid_dataset="synthetic_hard", check_point=ckpt)
+        eval_every=99, log_every=200, train_dataset=dataset,
+        valid_dataset=dataset, check_point=ckpt)
 
 
-def study_scale(scale: int, steps: int) -> dict:
+def study_scale(scale: int, steps: int,
+                dataset: str = "synthetic_hard") -> dict:
     import jax.numpy as jnp
     import numpy as np
     from hard_demo import bicubic_baseline
@@ -63,23 +64,24 @@ def study_scale(scale: int, steps: int) -> dict:
                                               restore_generator_params)
     from pesr_tpu.training.loop import run_training
 
-    ckpt = os.path.join(ARTIFACTS, f"flagship_hard_x{scale}")
+    suffix = "" if dataset == "synthetic_hard" else "_band"
+    ckpt = os.path.join(ARTIFACTS, f"flagship_hard_x{scale}{suffix}")
     if latest_step_dir(ckpt):
         print(f"[hard-study] reusing {ckpt}", flush=True)
     else:
         t0 = time.time()
-        run_training(_opts(scale, steps, ckpt))
-        print(f"[hard-study] trained x{scale}: {steps} steps in "
-              f"{time.time() - t0:.0f}s", flush=True)
+        run_training(_opts(scale, steps, ckpt, dataset))
+        print(f"[hard-study] trained x{scale} on {dataset}: {steps} "
+              f"steps in {time.time() - t0:.0f}s", flush=True)
 
-    samples = load_eval_set(_opts(scale, 0, ckpt), "synthetic_hard", 5)
+    samples = load_eval_set(_opts(scale, 0, ckpt, dataset), dataset, 5)
     lrs = [s.lr for s in samples]
 
     # MATLAB-bicubic baseline (shared helper, hard_demo.py)
     bicubic = bicubic_baseline(samples, scale)
 
     params, step = restore_generator_params(ckpt)
-    out = {"scale": scale, "steps": step,
+    out = {"scale": scale, "steps": step, "dataset": dataset,
            "psnr_bicubic": round(bicubic, 3)}
     for path in ("bf16", "int8"):
         if path == "bf16":
@@ -104,6 +106,11 @@ def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scales", default="2,4")
     p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--dataset", default="synthetic_hard",
+                   help="synthetic_hard or synthetic_hard_x4 (the "
+                   "round-4 verdict #4 x4-band variant: energy below "
+                   "the x4 LR Nyquist so the contract scale has a "
+                   "learnable hard-content margin)")
     p.add_argument("--out", default=os.path.join(
         REPO, "benchmarks", "flagship_hard_r4.json"))
     args = p.parse_args()
@@ -114,7 +121,7 @@ def main() -> int:
     enable_compile_cache()
 
     os.makedirs(ARTIFACTS, exist_ok=True)
-    rows = [study_scale(int(s), args.steps)
+    rows = [study_scale(int(s), args.steps, args.dataset)
             for s in args.scales.split(",")]
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)
