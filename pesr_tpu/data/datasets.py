@@ -529,7 +529,13 @@ def train_num_images(opts) -> int:
     image list ``num_repeats`` times, so steps_per_epoch =
     ceil(num_images * num_repeats / batch_size) when --steps_per_epoch
     is 0/unset (SURVEY.md §2.5 [U-high]; DIV2K 800 x 20 / 16 = 1000).
+
+    ``synthetic_device`` (device_synth.py) has no image list — every
+    batch is freshly rendered — so it adopts the in-memory synthetic
+    corpus's nominal 32-image epoch convention.
     """
+    if opts.train_dataset.lower() == "synthetic_device":
+        return 32
     return len(_resolve_train_source(opts))
 
 
@@ -640,6 +646,24 @@ def load_eval_set(opts, dataset: Optional[str] = None,
     """
     name = dataset or opts.test_dataset
     samples: List[EvalSample] = []
+    if name.lower() == "synthetic_device":
+        # Device-rendered eval images (device_synth.py): one render on
+        # the default backend, fetched once; LR is the host bicubic +
+        # uint8 quantization like every other HR-only eval layout.
+        from pesr_tpu.data.device_synth import render_hr_batch
+        import jax
+        n = max_images or 5
+        hrs = np.asarray(render_hr_batch(
+            jax.random.key(opts.seed + 1), batch=n, hp=480,
+            scale=opts.scale))
+        for i in range(n):
+            hr = hrs[i]
+            lr = host_bicubic_downsample(hr, opts.scale)
+            h, w = lr.shape[:2]
+            samples.append(EvalSample(
+                f"device_{i:03d}", lr,
+                hr[:h * opts.scale, :w * opts.scale]))
+        return samples
     if name.lower() in _SYNTH_VARIANTS or name.lower() == "natural":
         src = (NaturalImages(include_holdout=True)
                if name.lower() == "natural"

@@ -96,6 +96,13 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     multihost = jax.process_count() > 1
 
     def _put(x):
+        if isinstance(x, jax.Array) and x.sharding == sh:
+            # Already a device array in the target placement (e.g. the
+            # synthetic_device renderer out-shards directly): pass
+            # through — re-putting would be a no-op single-host and is
+            # WRONG multi-host (make_array_from_process_local_data
+            # expects host-local shards, not a global array).
+            return x
         if multihost:
             return jax.make_array_from_process_local_data(sh, x)
         if x.shape[0] % mesh.size:

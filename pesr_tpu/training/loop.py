@@ -287,11 +287,23 @@ def run_training(opts: Opts) -> Dict[str, float]:
         # reason (a plain re-seed would replay steps 0..start_step's
         # augmentation decisions against the replayed patches).
         rng = jax.random.fold_in(rng, start_step)
-    train_iter, lr_from_files = datasets.make_train_iterator(
-        opts, start_step=start_step)
-    print("LR source: pre-generated files (DIV2K bicubic track)"
-          if lr_from_files else
-          "LR source: synthesized on device (MATLAB-bicubic)")
+    if opts.train_dataset.lower() == "synthetic_device":
+        # Fully on-device data path (data/device_synth.py): HR patches
+        # render inside XLA from the stream key; zero host->device
+        # batch traffic.  shard_batch passes the pre-sharded device
+        # array through, so the step plumbing below is unchanged.
+        from pesr_tpu.data.device_synth import DeviceSyntheticStream
+        train_iter = DeviceSyntheticStream(mesh, opts,
+                                           start_step=start_step)
+        lr_from_files = False
+        print("HR source: rendered on device (synthetic_device); "
+              "LR synthesized on device (MATLAB-bicubic)")
+    else:
+        train_iter, lr_from_files = datasets.make_train_iterator(
+            opts, start_step=start_step)
+        print("LR source: pre-generated files (DIV2K bicubic track)"
+              if lr_from_files else
+              "LR source: synthesized on device (MATLAB-bicubic)")
     prep = jax.jit(functools.partial(augment.prepare_train_batch,
                                      scale=opts.scale))
 
