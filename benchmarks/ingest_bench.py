@@ -143,7 +143,11 @@ def main() -> int:
         alpha_vgg=50.0, alpha_tv=1e-6, alpha_l1=1.0)
 
     dataset_for = {"memory": "synthetic", "disk_lr": "DIV2K",
-                   "disk_hrcrop": "DIV2K/DIV2K_train_HR"}
+                   "disk_hrcrop": "DIV2K/DIV2K_train_HR",
+                   # round 5: batches rendered INSIDE XLA — zero
+                   # host->device batch traffic (data/device_synth.py);
+                   # IB_MODES=memory,device isolates the link share.
+                   "device": "synthetic_device"}
     phase_map = {"pretrain": "pretrain", "gan": "train"}
 
     paths = {"decode": _decode_throughput(corpus)}
@@ -158,7 +162,7 @@ def main() -> int:
     ratios = {}
     for ph in phases:
         mem = paths.get(f"{ph}_memory", {}).get("steady_steps_per_s")
-        for mode in ("disk_lr", "disk_hrcrop"):
+        for mode in ("disk_lr", "disk_hrcrop", "device"):
             d = paths.get(f"{ph}_{mode}", {}).get("steady_steps_per_s")
             if mem and d:
                 ratios[f"{ph}_{mode}"] = round(d / mem, 4)

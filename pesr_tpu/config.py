@@ -96,6 +96,9 @@ class Opts:
                                   # snapshot dirs (0 = keep all; the
                                   # ``best`` copy is never pruned)
     log_every: int = 50           # steps between scalar logs (0 = off)
+    trim_host_heap: bool = False  # malloc_trim(0) at epoch boundaries
+                                  # (utils/memory.py: long-run host-RSS
+                                  # hygiene on glibc hosts)
     eval_every: int = 1           # epochs between self-validation evals
                                   # (0 = off)
     eval_pi: bool = True          # PIRM PI (NIQE+Ma) in self-validation
@@ -282,6 +285,9 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
                        "PIRM perceptual index in self-validation")
         _add_bool_flag(g, "resume", d.resume,
                        "resume G/D/optimizer state from check_point")
+        _add_bool_flag(g, "trim_host_heap", d.trim_host_heap,
+                       "return freed host-heap arenas to the OS at "
+                       "epoch boundaries (long-run RSS hygiene)")
         g.add_argument("--profile_dir", type=str, default=d.profile_dir)
     else:
         g = p.add_argument_group("inference")

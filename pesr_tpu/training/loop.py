@@ -487,6 +487,11 @@ def _train_epochs(opts, mesh, rng, step_fn, prep, train_iter, logger,
         # the scalars reach the JSONL (they used to be dropped) and the
         # throughput sample closes on training time, not eval time.
         _flush_pending(global_step)
+        if opts.trim_host_heap:
+            # Long-run host-heap hygiene (utils/memory.py): return
+            # freed allocator arenas to the OS once per epoch.
+            from pesr_tpu.utils.memory import trim_host_heap
+            trim_host_heap()
         # 0 = off for the every-N knobs (the repo's flag convention);
         # modulo-by-zero used to crash the loop at the first epoch end.
         if opts.eval_every > 0 and (epoch + 1) % opts.eval_every == 0:
